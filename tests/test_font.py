@@ -1,0 +1,58 @@
+"""Font contract tests (FIXTURES.md §3)."""
+
+import numpy as np
+
+from text_extraction_spark.engine import font
+
+
+def _flat():
+    return font.GLYPHS.reshape(len(font.GLYPHS), -1).astype(np.int16)
+
+
+def test_glyph_shapes():
+    assert font.GLYPHS.shape == (len(font.ALPHABET), font.GLYPH_H, font.GLYPH_W)
+    assert set(np.unique(font.GLYPHS)) <= {0, 1}
+
+
+def test_min_interglyph_distance():
+    f = _flat()
+    d = np.abs(f[:, None, :] - f[None, :, :]).sum(axis=2)
+    np.fill_diagonal(d, 10_000)
+    assert d.min() >= font.MIN_INTERGLYPH_DIST
+
+
+def test_min_ink_vs_blank():
+    assert _flat().sum(axis=1).min() >= font.MIN_INK
+
+
+def test_clean_decode_every_glyph():
+    for ch in font.ALPHABET:
+        assert font.match_glyph(font.GLYPHS[font.ALPHABET.index(ch)]) == ch
+    assert font.match_glyph(np.zeros((7, 5), dtype=np.uint8)) == ""
+
+
+def test_exhaustive_single_flip_decode():
+    """MIN_INTERGLYPH_DIST >= 4 and MIN_INK >= 3 imply any 1-px corruption
+    still decodes to the original glyph — checked exhaustively."""
+    for gi, ch in enumerate(font.ALPHABET):
+        base = font.GLYPHS[gi].reshape(-1)
+        for p in range(base.size):
+            noisy = base.copy()
+            noisy[p] ^= 1
+            assert font.match_glyph(noisy.reshape(7, 5)) == ch, (ch, p)
+
+
+def test_render_text_geometry_and_decode():
+    text = "AB-9,%"
+    img = font.render_text(text)
+    assert img.shape == (font.GLYPH_H, len(text) * font.ADVANCE - 2)
+    slots = np.stack(
+        [img[:, k * font.ADVANCE : k * font.ADVANCE + font.GLYPH_W] for k in range(len(text))]
+    )
+    assert "".join(font.match_slots(slots)) == text
+
+
+def test_match_slots_matches_match_glyph():
+    rng = np.random.Generator(np.random.PCG64(7))
+    slots = (rng.random((20, 7, 5)) < 0.3).astype(np.uint8)
+    assert font.match_slots(slots) == [font.match_glyph(s) for s in slots]

@@ -1,0 +1,90 @@
+"""Unit tests for A7–A11 (SURVEY.md §5.1) on hand-constructed arrays."""
+
+import numpy as np
+import pytest
+
+from text_extraction_spark import corpus
+from text_extraction_spark.engine import font, imageproc
+
+
+def test_adaptive_threshold_beats_gradient():
+    """A global threshold cannot split fixture ink from background (their
+    ranges overlap by construction); the adaptive stage recovers the ink
+    mask exactly on a noise-free gradient image."""
+    grid = [["AB", "1"], ["X,", "%"]]
+    ink = corpus.render_table(grid)
+    h, w = ink.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    illum = corpus.ILLUM_BASE + (corpus.ILLUM_SPAN * (xs + ys)) // (w + h - 2)
+    gray = (illum - corpus.INK_DROP * ink.astype(np.int64)).astype(np.uint8)
+    # overlap: max ink gray >= min background gray → global cut impossible
+    assert gray[ink == 1].max() >= gray[ink == 0].min()
+    assert np.array_equal(imageproc.adaptive_threshold(gray), ink)
+
+
+def test_adaptive_threshold_flat_image_all_background():
+    gray = np.full((40, 40), 200, dtype=np.uint8)
+    assert imageproc.adaptive_threshold(gray).sum() == 0
+
+
+def test_denoise_kills_salt_keeps_strokes():
+    mask = np.zeros((20, 20), dtype=np.uint8)
+    mask[10, 2:18] = 1  # 1-px stroke
+    mask[3, 3] = 1  # isolated speck
+    mask[15, 15] = 1  # isolated speck
+    out = imageproc.denoise(mask)
+    assert out[3, 3] == 0 and out[15, 15] == 0
+    assert np.array_equal(out[10, 2:18], np.ones(16, dtype=np.uint8))
+
+
+def test_denoise_fills_full_surrounded_hole():
+    mask = np.ones((5, 5), dtype=np.uint8)
+    mask[2, 2] = 0
+    assert imageproc.denoise(mask)[2, 2] == 1
+
+
+def test_detect_rulings_clean_grid():
+    grid = [["A", "B", "C"], ["1", "2", "3"]]
+    ink = corpus.render_table(grid)
+    rows, cols = imageproc.detect_rulings(ink)
+    assert rows == [0, font.CELL_H + 1, 2 * (font.CELL_H + 1)]
+    assert cols == [0, font.CELL_W + 1, 2 * (font.CELL_W + 1), 3 * (font.CELL_W + 1)]
+
+
+def test_text_rows_stay_below_ruling_threshold():
+    """Margin analysis behind RULING_NUM/DEN: even a worst-case text row
+    (all cells full of the widest glyphs) stays below 85% ink."""
+    grid = [["EEEEEE"] * 4, ["TTTTTT"] * 4]
+    ink = corpus.render_table(grid)
+    w = ink.shape[1]
+    rulings = {0, font.CELL_H + 1, 2 * (font.CELL_H + 1)}
+    for y in range(ink.shape[0]):
+        if y not in rulings:
+            assert int(ink[y].sum()) * imageproc.RULING_DEN < imageproc.RULING_NUM * w
+
+
+def test_reconstruct_grid_boxes():
+    cells = imageproc.reconstruct_grid([0, 14, 28], [0, 47, 94])
+    assert cells == [
+        (0, 0, 1, 1, 14, 47),
+        (0, 1, 1, 48, 14, 94),
+        (1, 0, 15, 1, 28, 47),
+        (1, 1, 15, 48, 28, 94),
+    ]
+
+
+def test_png_roundtrip():
+    rng = np.random.Generator(np.random.PCG64(3))
+    img = rng.integers(0, 256, (33, 57), dtype=np.uint8)
+    data = imageproc.encode_png_gray8(img)
+    assert np.array_equal(imageproc.decode_image(data, 57, 33, "png"), img)
+
+
+def test_raw_u8_decode():
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    assert np.array_equal(imageproc.decode_image(img.tobytes(), 6, 4, "raw-u8"), img)
+
+
+def test_decode_rejects_unknown_fmt():
+    with pytest.raises(ValueError):
+        imageproc.decode_image(b"", 1, 1, "jpeg")

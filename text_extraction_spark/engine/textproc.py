@@ -1,0 +1,80 @@
+"""A5 (SURVEY.md §2-A): single-pass byte/DOM-stream tokenization of text
+spans into blocks with word / link-word accounting.
+
+Replaces the reference's DOM parse (no lxml/bs4 in env — SURVEY §0
+[ENV]) with a one-pass tag scanner: tags never nest inside tags, block
+boundaries are <p> <div> <h1>–<h6> <br> <li> <tr> and their closers plus
+blank lines, and <a …>…</a> tracks link text for the Kohlschütter
+features (words, link_words, chars per block).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_TAG = re.compile(r"<[^>]*>")
+_BLANKLINE = re.compile(r"\n\s*\n")
+_BLOCK_TAGS = {
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "br", "li", "tr",
+    "ul", "ol", "table", "td", "th", "blockquote", "section", "article",
+    "header", "footer", "nav",
+}
+
+
+@dataclass
+class Block:
+    """One text block with Kohlschütter shallow features."""
+
+    text: str
+    words: int
+    link_words: int
+
+    @property
+    def chars(self) -> int:
+        return len(self.text)
+
+
+def _flush(buf: list[tuple[str, bool]], out: list[Block]) -> None:
+    if not buf:
+        return
+    words = [w for w, _ in buf]
+    out.append(
+        Block(
+            text=" ".join(words),
+            words=len(words),
+            link_words=sum(1 for _, in_link in buf if in_link),
+        )
+    )
+    buf.clear()
+
+
+def tokenize(html: str) -> list[Block]:
+    """Single pass over the pseudo-HTML: split into blocks at block-level
+    tags / blank lines, counting words and link words. Empty blocks are
+    dropped. Deterministic, pure string processing."""
+    # Normalize blank-line paragraph breaks to an explicit break tag so
+    # the scan below has a single boundary mechanism.
+    html = _BLANKLINE.sub("<br>", html)
+    blocks: list[Block] = []
+    buf: list[tuple[str, bool]] = []
+    link_depth = 0
+    pos = 0
+    for m in _TAG.finditer(html):
+        _consume_words(html[pos : m.start()], link_depth, buf)
+        tag = m.group(0)[1:-1].strip().lower()
+        closing = tag.startswith("/")
+        name = tag.lstrip("/").split()[0].rstrip("/") if tag.lstrip("/") else ""
+        if name == "a":
+            link_depth = max(0, link_depth - 1) if closing else link_depth + 1
+        elif name in _BLOCK_TAGS:
+            _flush(buf, blocks)
+        pos = m.end()
+    _consume_words(html[pos:], link_depth, buf)
+    _flush(buf, blocks)
+    return blocks
+
+
+def _consume_words(chunk: str, link_depth: int, buf: list[tuple[str, bool]]) -> None:
+    for w in chunk.split():
+        buf.append((w, link_depth > 0))

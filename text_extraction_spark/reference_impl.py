@@ -1,0 +1,61 @@
+"""Single-process per-document extraction oracle (SURVEY.md §0, §5.2).
+
+/root/reference is empty in this sandbox (SURVEY §0), so THIS module is
+the golden reference the distributed pipeline must match exactly under
+span-sequence equality (kind, text, media_ref, order) per doc_id
+[B:14, B:15]. It composes the same pure engine stages the Spark UDFs
+use, straight-line and single-threaded — mirroring the reference repo's
+one-image-at-a-time script shape (SURVEY §3.1) — so any divergence in
+the Spark pipeline (ordering, partitioning, Arrow round-trip, salting)
+shows up as a golden mismatch.
+
+Semantics:
+  * text span  → Kohlschütter main-content extraction (A5+A6); spans
+    whose every block is boilerplate are DROPPED (consume no `order`).
+  * media span → resolve media_ref, decode (A7), extract table text
+    (A8–A13); unresolvable refs or images with no detectable grid are
+    DROPPED.
+  * survivors get `order` = 0-based dense rank by input `offset`
+    (offsets may be sparse — SURVEY §7 hazard 2).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from .engine.boilerplate import extract_main
+from .engine.imageproc import decode_image
+from .engine.ocr import extract_table, normalize_text
+
+
+def extract_span(kind: str, text: str | None, media_ref: str | None,
+                 media_lookup: Mapping[str, object]) -> dict | None:
+    """Extract one span → output dict (without `order`) or None if dropped."""
+    if kind == "text":
+        main = normalize_text(extract_main(text or ""))
+        if not main:
+            return None
+        return {"kind": "text", "text": main, "media_ref": None}
+    if kind == "media":
+        m = media_lookup.get(media_ref)
+        if m is None:
+            return None
+        gray = decode_image(m.data, m.width, m.height, m.fmt)
+        table = extract_table(gray)
+        if not table:
+            return None
+        return {"kind": "media", "text": table, "media_ref": media_ref}
+    return None
+
+
+def extract_doc(spans: list[dict], media_lookup: Mapping[str, object]) -> list[dict]:
+    """Per-document oracle: input spans (kind,text,media_ref,offset) →
+    output spans (kind,text,media_ref,order), order dense by offset."""
+    survivors = []
+    for s in sorted(spans, key=lambda s: s["offset"]):
+        out = extract_span(s["kind"], s.get("text"), s.get("media_ref"), media_lookup)
+        if out is not None:
+            survivors.append(out)
+    for i, s in enumerate(survivors):
+        s["order"] = i
+    return survivors
