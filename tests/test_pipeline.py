@@ -1,0 +1,131 @@
+"""Spark pipeline tests (SURVEY §5.2 golden end-to-end, §5.3 properties).
+
+The binding gate [B:14, B:15]: span-sequence equality
+(kind, text, media_ref, order) per doc_id vs the single-process oracle,
+zero mismatches — plus resume idempotence and partitioning invariance.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_extraction_spark import pipeline
+
+
+@pytest.fixture(scope="module")
+def run_out(spark, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    res = pipeline.extract_corpus(spark, tiny_corpus, out, run_id="t1")
+    return out, res
+
+
+def _golden(spark, corpus_dir):
+    return spark.read.parquet(os.path.join(corpus_dir, "golden.parquet"))
+
+
+def _extracted(spark, out):
+    return spark.read.parquet(os.path.join(out, "extracted"))
+
+
+def test_golden_equality_zero_mismatches(spark, tiny_corpus, run_out):
+    out, res = run_out
+    assert res["buckets_committed"] > 0
+    mm = pipeline.compare_golden(_extracted(spark, out), _golden(spark, tiny_corpus))
+    assert mm.count() == 0
+
+
+def test_every_doc_present_including_fully_dropped(spark, tiny_corpus, run_out):
+    out, _ = run_out
+    e = _extracted(spark, out)
+    g = _golden(spark, tiny_corpus)
+    assert e.count() == g.count()
+    empty = e.filter(F.size("spans") == 0).count()
+    g_empty = g.filter(F.size("spans") == 0).count()
+    assert empty == g_empty
+
+
+def test_output_schema_matches_contract(spark, run_out):
+    out, _ = run_out
+    spans_field = _extracted(spark, out).schema["spans"]
+    names = [f.name for f in spans_field.dataType.elementType.fields]
+    assert names == ["kind", "text", "media_ref", "order"]
+
+
+def test_metrics_invariants(spark, tiny_corpus, run_out):
+    out, res = run_out
+    m = spark.read.parquet(os.path.join(out, "metrics"))
+    docs = spark.read.parquet(os.path.join(tiny_corpus, "documents.parquet"))
+    spans_total = docs.select(F.explode("spans")).count()
+    media_total = docs.select(F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "media"
+    ).count()
+    agg = m.agg(
+        F.sum("spans_in").alias("si"),
+        F.sum("spans_out").alias("so"),
+        F.sum("media_ok").alias("mo"),
+        F.sum("media_err").alias("me"),
+    ).first()
+    assert agg["si"] == spans_total
+    assert agg["mo"] + agg["me"] == media_total
+    assert agg["so"] == res["spans_out"]
+    # one row per (run_id, partition_id)
+    assert m.count() == m.select("run_id", "partition_id").distinct().count()
+    assert m.filter(F.col("wall_ms") < 0).count() == 0
+
+
+def test_resume_after_simulated_crash(spark, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipeline.extract_corpus(
+            spark, tiny_corpus, out, run_id="r1", _fail_after_buckets=5
+        )
+    committed = pipeline.read_committed_buckets(spark, out)
+    assert len(committed) == 5
+
+    res2 = pipeline.extract_corpus(spark, tiny_corpus, out, run_id="r2")
+    assert res2["skipped"] == 5
+    assert res2["buckets_committed"] == 11
+    assert len(pipeline.read_committed_buckets(spark, out)) == 16
+
+    # final table identical to a clean single run
+    clean = str(tmp_path_factory.mktemp("clean"))
+    pipeline.extract_corpus(spark, tiny_corpus, clean, run_id="c1")
+    mm = pipeline.compare_golden(_extracted(spark, out), _extracted(spark, clean))
+    assert mm.count() == 0
+
+    # idempotence: a third run is a no-op
+    res3 = pipeline.extract_corpus(spark, tiny_corpus, out, run_id="r3")
+    assert res3["docs"] == 0 and res3["skipped"] == 16
+
+
+def test_partitioning_invariance(spark, tiny_corpus, run_out, tmp_path_factory):
+    """Same corpus at a different salt-partition count → identical output
+    (determinism across parallelism, SURVEY §5.3)."""
+    out, _ = run_out
+    alt = str(tmp_path_factory.mktemp("alt"))
+    pipeline.extract_corpus(
+        spark, tiny_corpus, alt, run_id="alt", salt_partitions=7, n_buckets=3
+    )
+    mm = pipeline.compare_golden(_extracted(spark, out), _extracted(spark, alt))
+    assert mm.count() == 0
+
+
+def test_input_row_order_invariance(spark, tiny_corpus, run_out, tmp_path_factory):
+    """Shuffling corpus row order leaves the extracted table identical."""
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    out, _ = run_out
+    t = pq.read_table(os.path.join(tiny_corpus, "documents.parquet"))
+    idx = np.random.Generator(np.random.PCG64(9)).permutation(t.num_rows)
+    shuf_dir = str(tmp_path_factory.mktemp("shuf"))
+    pq.write_table(t.take(idx), os.path.join(shuf_dir, "documents.parquet"))
+    os.symlink(
+        os.path.join(tiny_corpus, "media.parquet"),
+        os.path.join(shuf_dir, "media.parquet"),
+    )
+    out2 = str(tmp_path_factory.mktemp("shufout"))
+    pipeline.extract_corpus(spark, shuf_dir, out2, run_id="s1")
+    mm = pipeline.compare_golden(_extracted(spark, out), _extracted(spark, out2))
+    assert mm.count() == 0

@@ -1,0 +1,66 @@
+"""SparkSession builder with scale-tuned defaults (SURVEY.md §4).
+
+Single place every entrypoint (tests, jobs, bench, __spark_entry__)
+gets its session from, so physical-execution knobs live in one module:
+
+* UTC session timezone — DuckDB oracle timestamps are µs/UTC
+  (SURVEY §7 hazard 5).
+* Arrow batch size 1024 — media rows carry ~10–50 KB binary payloads;
+  the default 10k-row batches would pin hundreds of MB per Python
+  worker at scale (SURVEY §4 "vectorized Python execution").
+* AQE on (skew-join splitting + partition coalescing are free for the
+  relational plane; the UDF stage still needs explicit A4 salting
+  because Python-UDF cost is opaque to the optimizer — SURVEY §2 note).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+ARROW_MAX_RECORDS_PER_BATCH = 1024
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "text-extraction-spark",
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    # Python workers deserialize UDFs by importing this package — make the
+    # package root visible to them regardless of the driver script's cwd
+    # (the library-use equivalent of `spark-submit --py-files`).
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{_PKG_ROOT}{os.pathsep}{pp}" if pp else _PKG_ROOT
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    )
+    if master:
+        b = b.master(master)
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def stop_active() -> None:
+    """Stop any active session (tests switch master between local[N])."""
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.stop()

@@ -1,0 +1,509 @@
+"""The distributed extraction pipeline — SURVEY.md §2-A operators A1–A19
+re-expressed Spark-first over the interleaved corpus [B:15].
+
+Physical design (SURVEY §3.2 / §4):
+
+  Stage 1 (scan)      read documents.parquet, prune to (doc_id, spans),
+                      bucket = pmod(xxhash64(doc_id), n_buckets),
+                      resume filter: LEFT ANTI join vs committed manifest
+                      buckets (A18 / Q7).
+  Stage 2 (explode)   posexplode-free explode of spans, then the text and
+                      media paths are SEPARATE projections so the media
+                      plan never drags `text` through Arrow and vice
+                      versa (column pruning, SURVEY §4).
+  shuffle #1 (A4)     explicit salted repartition BEFORE the Python
+                      stage: span-level key xxhash64(doc_id, offset)
+                      dissolves media-heavy-document skew (all spans of a
+                      heavy doc scatter uniformly); AQE cannot do this
+                      because Python-UDF cost is opaque to it.
+  Stage 3 (UDFs)      one chained Arrow pandas UDF per path — each span
+                      crosses the JVM⇄Python boundary exactly once
+                      (A5+A6 fused for text, A7–A14 fused for media,
+                      iterator form to amortize setup).
+  Stage 4 (metrics)   mapInPandas tap (A17): pulls batches through the
+                      upstream UDF, timing each pull — per-partition
+                      lineage rows derive from these columns.
+  shuffle #2 (A15)    window row_number over (doc_id, offset) → dense
+                      `order`, then groupBy(doc_id) reuses the same hash
+                      partitioning (no third shuffle) to collect the
+                      span array; left join back to the full doc list so
+                      fully-dropped documents keep an empty spans array.
+  Stage 5 (A19/A18)   write extracted partitioned by bucket to a staging
+                      dir, atomically rename each bucket dir into the
+                      final table, append one manifest row per bucket
+                      (exactly-once resume without an Iceberg jar), then
+                      append per-partition metrics.
+
+Every stage is deterministic: results are invariant to partitioning
+(asserted by tests/test_pipeline.py against the single-process oracle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .engine.boilerplate import extract_main
+from .engine.imageproc import decode_image
+from .engine.ocr import extract_table, normalize_text
+
+OUT_SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("order", IntegerType()),
+        ]
+    )
+)
+
+_EMPTY_SPANS = (
+    "CAST(array() AS array<struct<kind:string,text:string,"
+    "media_ref:string,order:int>>)"
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("docs", LongType()),
+        StructField("spans_in", LongType()),
+        StructField("spans_out", LongType()),
+        StructField("media_ok", LongType()),
+        StructField("media_err", LongType()),
+        StructField("bytes_in", LongType()),
+        StructField("wall_ms", LongType()),
+        StructField("ts", StringType()),
+    ]
+)
+
+
+# --------------------------------------------------------------------- A5+A6
+
+
+@F.pandas_udf(StringType())
+def extract_text_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Fused A5 tokenize + A6 Kohlschütter classify + A14 normalize.
+    NULL result = span dropped (all blocks boilerplate)."""
+    for batch in texts:
+        yield pd.Series(
+            [
+                (normalize_text(extract_main(s)) or None) if s is not None else None
+                for s in batch
+            ],
+            dtype="object",
+        )
+
+
+# ------------------------------------------------------------------ A7–A14
+
+
+@F.pandas_udf(StringType())
+def extract_media_udf(
+    it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    """Fused media path: decode (A7) → adaptive threshold (A8) → denoise
+    (A9) → rulings (A10) → grid (A11) → slot OCR (A12) → row-major
+    assembly (A13). NULL = dropped (unresolved ref / decode error / no
+    grid). Iterator form: one Arrow crossing per batch, numpy setup
+    amortized across the partition."""
+    for width, height, fmt, data in it:
+        out = []
+        for i in range(len(data)):
+            blob = data.iat[i]
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                gray = decode_image(bytes(blob), int(width.iat[i]), int(height.iat[i]), fmt.iat[i])
+                out.append(extract_table(gray) or None)
+            except Exception:
+                out.append(None)
+        yield pd.Series(out, dtype="object")
+
+
+# ---------------------------------------------------------------------- A17
+
+
+def _metrics_tap(schema_fields: list[str]):
+    """mapInPandas tap: pulls batches through the upstream (lazy) UDF
+    stage, timing each pull — so proc_ms genuinely measures the Python
+    extraction work of this partition — and stamps partition lineage."""
+
+    def tap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        t0 = time.monotonic()
+        for batch in it:
+            dt_ms = (time.monotonic() - t0) * 1000.0
+            batch = batch.copy()
+            batch["partition_id"] = pid
+            # per-row share of the batch wall time; summing reconstructs
+            # the partition wall without holding the partition in memory
+            batch["proc_ms"] = dt_ms / max(len(batch), 1)
+            yield batch
+            t0 = time.monotonic()
+
+    return tap
+
+
+# ------------------------------------------------------------------ pipeline
+
+
+def load_corpus(spark: SparkSession, in_path: str) -> DataFrame:
+    """A1: corpus scan (Iceberg seam: swap format here if the runtime jar
+    ever appears — SURVEY §1.2)."""
+    return spark.read.parquet(os.path.join(in_path, "documents.parquet"))
+
+
+def load_media(spark: SparkSession, in_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(in_path, "media.parquet"))
+
+
+def extract_spans(
+    corpus: DataFrame,
+    media: DataFrame,
+    salt_partitions: int | None = None,
+    broadcast_media: bool | None = None,
+) -> DataFrame:
+    """A2–A14 + A17: corpus (doc_id, spans) ⋈ media → per-span extraction.
+
+    Returns span-level DF:
+      (doc_id, offset, kind, media_ref, out_text, est_cost,
+       partition_id, proc_ms)
+    with out_text NULL for dropped spans (kept here so metrics can count
+    drops; filtered by reassemble()).
+    """
+    spark = corpus.sparkSession
+    if salt_partitions is None:
+        salt_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    spans = corpus.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+    # ---- text path: never carries media columns through Arrow
+    text_in = spans.filter(F.col("kind") == "text").select(
+        "doc_id", "offset", "text", F.length("text").alias("est_cost")
+    )
+    # A4: explicit salted repartition at span granularity — doc-level
+    # skew (media-heavy docs [B:6]) dissolves because the salt includes
+    # the span offset, not just doc_id.
+    text_in = text_in.repartition(salt_partitions, F.xxhash64("doc_id", "offset"))
+    text_out = text_in.select(
+        "doc_id",
+        "offset",
+        F.lit("text").alias("kind"),
+        F.lit(None).cast(StringType()).alias("media_ref"),
+        extract_text_udf("text").alias("out_text"),
+        F.col("est_cost").cast(LongType()).alias("est_cost"),
+    )
+
+    # ---- media path: resolve media_ref (A2), then extract
+    media_in = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    m = media.select("media_ref", "width", "height", "fmt", "data")
+    if broadcast_media is True:
+        m = F.broadcast(m)
+    joined = media_in.join(m, "media_ref", "left")
+    # A3 est_cost = pixel count; A4 salted repartition (see text path)
+    joined = joined.withColumn(
+        "est_cost",
+        (F.coalesce(F.col("width"), F.lit(0)) * F.coalesce(F.col("height"), F.lit(0))).cast(LongType()),
+    ).repartition(salt_partitions, F.xxhash64("doc_id", "offset"))
+    media_out = joined.select(
+        "doc_id",
+        "offset",
+        F.lit("media").alias("kind"),
+        "media_ref",
+        extract_media_udf("width", "height", "fmt", "data").alias("out_text"),
+        "est_cost",
+    )
+
+    unioned = text_out.unionByName(media_out)
+    from pyspark.sql.types import DoubleType
+
+    tapped_schema = StructType(
+        unioned.schema.fields
+        + [
+            StructField("partition_id", IntegerType()),
+            StructField("proc_ms", DoubleType()),
+        ]
+    )
+    return unioned.mapInPandas(_metrics_tap(unioned.columns), tapped_schema)
+
+
+def reassemble(span_df: DataFrame, corpus: DataFrame) -> DataFrame:
+    """A15: surviving spans → per-doc ordered span arrays.
+
+    `order` = dense 0-based rank of survivors by input offset (offsets
+    are sparse — SURVEY §7 hazard 2). groupBy(doc_id) immediately after
+    a window partitioned by doc_id reuses the hash partitioning: one
+    shuffle, not two. Docs whose every span dropped keep an empty array.
+    """
+    survivors = span_df.filter(F.col("out_text").isNotNull())
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    ranked = survivors.withColumn("order", (F.row_number().over(w) - 1).cast(IntegerType()))
+    assembled = ranked.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("order"),
+                    F.col("kind"),
+                    F.col("out_text").alias("text"),
+                    F.col("media_ref"),
+                )
+            )
+        ).alias("ordered")
+    ).select(
+        "doc_id",
+        F.transform(
+            "ordered",
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                x["order"].alias("order"),
+            ),
+        ).alias("spans"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(assembled, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("spans"), F.expr(_EMPTY_SPANS)).alias("spans"))
+    )
+
+
+def compute_metrics(span_df: DataFrame, run_id: str) -> DataFrame:
+    """A17: per-partition lineage + metrics rows from the tapped columns."""
+    return (
+        span_df.groupBy("partition_id")
+        .agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.count(F.lit(1)).alias("spans_in"),
+            F.count("out_text").alias("spans_out"),
+            F.count(F.when((F.col("kind") == "media") & F.col("out_text").isNotNull(), 1)).alias("media_ok"),
+            F.count(F.when((F.col("kind") == "media") & F.col("out_text").isNull(), 1)).alias("media_err"),
+            F.sum("est_cost").alias("bytes_in"),
+            F.round(F.sum("proc_ms")).cast(LongType()).alias("wall_ms"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            "docs",
+            "spans_in",
+            "spans_out",
+            "media_ok",
+            "media_err",
+            "bytes_in",
+            "wall_ms",
+            F.current_timestamp().cast(StringType()).alias("ts"),
+        )
+    )
+
+
+# ----------------------------------------------------------- A18 manifest
+
+
+def _manifest_dir(out_path: str) -> str:
+    return os.path.join(out_path, "manifest")
+
+
+def read_committed_buckets(spark: SparkSession, out_path: str) -> set[int]:
+    mdir = _manifest_dir(out_path)
+    if not os.path.isdir(mdir) or not any(
+        f.endswith(".json") for f in os.listdir(mdir)
+    ):
+        return set()
+    out: set[int] = set()
+    for f in sorted(os.listdir(mdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                for line in fh:
+                    row = json.loads(line)
+                    if row["status"] == "committed":
+                        out.add(int(row["bucket"]))
+    return out
+
+
+def _append_manifest(out_path: str, rows: list[dict]) -> None:
+    """Atomic manifest append: write temp file, fsync, rename — a reader
+    sees either the whole batch or nothing."""
+    mdir = _manifest_dir(out_path)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"commit-{rows[0]['run_id']}-{uuid.uuid4().hex[:8]}.json"
+    tmp = os.path.join(mdir, "." + name + ".tmp")
+    with open(tmp, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(mdir, name))
+
+
+def extract_corpus(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    run_id: str,
+    n_buckets: int = 16,
+    salt_partitions: int | None = None,
+    _fail_after_buckets: int | None = None,
+) -> dict:
+    """Flagship job (SURVEY §3.2): resumable bucketed extraction.
+
+    Writes under out_path:
+      extracted/bucket=N/*.parquet   doc-level (doc_id, spans) table
+      manifest/commit-*.json         per-bucket commit records
+      metrics/*.parquet              per-(run, partition) lineage+metrics
+
+    Exactly-once resume: a bucket is visible iff its directory was
+    atomically renamed into extracted/ AND a committed manifest row
+    exists; a re-run left-anti-joins committed buckets (Q7 primitive)
+    and re-processes only the remainder. Replays are idempotent — the
+    same bucket is recomputed deterministically from the same input.
+
+    `_fail_after_buckets` simulates a mid-commit crash for the resume
+    property test (SURVEY §5.3).
+    """
+    t_start = time.monotonic()
+    corpus = load_corpus(spark, in_path).withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast(IntegerType())
+    )
+    committed = read_committed_buckets(spark, out_path)
+    if committed:
+        corpus = corpus.filter(~F.col("bucket").isin(sorted(committed)))
+    corpus = corpus.persist()
+    n_docs = corpus.count()
+    if n_docs == 0:
+        corpus.unpersist()
+        return {"run_id": run_id, "docs": 0, "buckets_committed": 0, "skipped": len(committed)}
+
+    media = load_media(spark, in_path)
+    span_df = extract_spans(
+        corpus.select("doc_id", "spans"), media, salt_partitions=salt_partitions
+    ).persist()
+
+    extracted = reassemble(span_df, corpus).join(
+        corpus.select("doc_id", "bucket"), "doc_id"
+    )
+
+    # ---- stage write, then per-bucket atomic rename + manifest commit
+    staging = os.path.join(out_path, f"_staging_{run_id}")
+    final_dir = os.path.join(out_path, "extracted")
+    extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+
+    os.makedirs(final_dir, exist_ok=True)
+    committed_now = 0
+    ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    bucket_dirs = sorted(
+        d for d in os.listdir(staging) if d.startswith("bucket=")
+    )
+    for i, bdir in enumerate(bucket_dirs):
+        if _fail_after_buckets is not None and i >= _fail_after_buckets:
+            raise RuntimeError(f"simulated crash after {i} bucket commits")
+        src, dst = os.path.join(staging, bdir), os.path.join(final_dir, bdir)
+        if os.path.exists(dst):  # replay of an uncommitted leftover
+            import shutil
+
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+        # commit point: the manifest row is appended immediately after the
+        # rename so a crash leaves at most ONE renamed-but-uncommitted
+        # bucket, which the replay overwrites (dst-exists branch above).
+        _append_manifest(
+            out_path,
+            [
+                {
+                    "run_id": run_id,
+                    "bucket": int(bdir.split("=")[1]),
+                    "status": "committed",
+                    "n_docs": None,
+                    "output_path": dst,
+                    "committed_at": ts,
+                }
+            ],
+        )
+        committed_now += 1
+
+    # ---- metrics (A17/A19) — derived from the tapped span DF
+    metrics = compute_metrics(span_df, run_id)
+    metrics.write.mode("append").parquet(os.path.join(out_path, "metrics"))
+
+    spans_out = span_df.filter(F.col("out_text").isNotNull()).count()
+    span_df.unpersist()
+    corpus.unpersist()
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "run_id": run_id,
+        "docs": n_docs,
+        "spans_out": spans_out,
+        "buckets_committed": committed_now,
+        "skipped": len(committed),
+        "wall_s": round(time.monotonic() - t_start, 3),
+    }
+
+
+# ----------------------------------------------------------------- A16
+
+
+def compare_golden(extracted: DataFrame, golden: DataFrame) -> DataFrame:
+    """A16: span-sequence equality (kind, text, media_ref, order) per
+    doc_id [B:14]. Canonicalize both sides with to_json over the spans
+    array sorted by `order` (null struct fields are dropped identically
+    on both sides), full-outer join, keep mismatches."""
+
+    def canon(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.to_json(
+                F.array_sort(
+                    F.transform(
+                        "spans",
+                        lambda s: F.struct(
+                            s["order"].alias("order"),
+                            s["kind"].alias("kind"),
+                            s["text"].alias("text"),
+                            s["media_ref"].alias("media_ref"),
+                        ),
+                    )
+                )
+            ).alias(name),
+        )
+
+    e = canon(extracted, "e_spans")
+    g = canon(golden, "g_spans")
+    return (
+        e.join(g, "doc_id", "full_outer")
+        .filter(
+            F.col("e_spans").isNull()
+            | F.col("g_spans").isNull()
+            | (F.col("e_spans") != F.col("g_spans"))
+        )
+    )
