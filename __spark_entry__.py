@@ -1,38 +1,83 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: the fused extraction UDF chain + relational
+                 aggregation over sf0.001 testdata.
+queries()      — every implemented operator from SURVEY.md §2:
+                 Q1–Q32 relational plane (relational.py), extraction
+                 plane A1–A19 (extraction_queries.py), and the
+                 training-data ops plane (dataops.py).
+oracle_sql()   — matching DuckDB SQL for every SQL-expressible query;
+                 entries without one are rows-only by design
+                 (approximate sketches, streaming semantics, full
+                 interleaved pipeline over this repo's own corpus).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_pythonpath() -> None:
+    """Workers must be able to import text_extraction_spark (UDF
+    deserialization) even when the driver process was launched from
+    elsewhere — same mechanism as conf.get_spark."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    pp = os.environ.get("PYTHONPATH", "")
+    if root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{root}{os.pathsep}{pp}" if pp else root
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: Kohlschütter main-content
+    extraction UDF over documents, quality features, per-language
+    rollup. Driver checks rows > 0 and a stable schema."""
+    _ensure_pythonpath()
+    from pyspark.sql import functions as F
+
+    from text_extraction_spark.pipeline import extract_text_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extracted = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        extract_text_udf("text").alias("main_text"),
+    )
+    return (
+        extracted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("main_text").alias("n_kept"),
+            F.round(F.avg(F.length("main_text")), 2).alias("avg_kept_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    _ensure_pythonpath()
+    from text_extraction_spark import dataops, extraction_queries, relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    out.update(extraction_queries.QUERIES)
+    out.update(dataops.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _ensure_pythonpath()
+    from text_extraction_spark import dataops, extraction_queries, relational
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    out.update(extraction_queries.ORACLES)
+    out.update(dataops.ORACLES)
+    return out

@@ -1,0 +1,96 @@
+"""Structured Streaming semantics (SURVEY §5.5, Q28–Q32): file-source
+replay, watermark late-data dropping, streaming dedup."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_extraction_spark import streaming
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay(tmp_path_factory):
+    return streaming.make_replay_dir(SF, str(tmp_path_factory.mktemp("replay")))
+
+
+@pytest.fixture(scope="module")
+def replay_late(tmp_path_factory):
+    return streaming.make_replay_dir(
+        SF, str(tmp_path_factory.mktemp("replay_late")), late_chunk=True
+    )
+
+
+def test_replay_preserves_all_events(spark, replay):
+    n_src = spark.read.parquet(os.path.join(SF, "events.parquet")).count()
+    assert spark.read.parquet(replay).count() == n_src
+
+
+def test_streaming_tumbling_counts_match_batch(spark, replay):
+    """AvailableNow streaming windowed counts == batch groupBy for every
+    window the watermark finalized (append mode emits only closed
+    windows; the tail windows near max(ts) may be withheld)."""
+    result = streaming.run_available_now(
+        streaming.windowed_counts(streaming.read_events_stream(spark, replay)), spark
+    )
+    batch = (
+        spark.read.parquet(replay)
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("ws"), "cnt", "total")
+    )
+    s = {(r["ws"], r["cnt"], r["total"]) for r in result.collect()}
+    b = {(r["ws"], r["cnt"], r["total"]) for r in batch.collect()}
+    assert s, "no windows emitted"
+    assert s <= b  # every emitted window is exactly the batch answer
+    # all but the non-finalized tail must be emitted
+    assert len(s) >= len(b) - 2
+
+
+def test_watermark_drops_late_rows(spark, replay, replay_late):
+    """The oldest 5% of events replayed LAST arrive after the watermark
+    (max ts - 10 min) has passed their windows → the state operator
+    discards them (numRowsDroppedByWatermark > 0) and their windows are
+    never emitted / undercounted vs the in-order replay."""
+    in_order = streaming.run_available_now(
+        streaming.windowed_counts(streaming.read_events_stream(spark, replay)), spark
+    ).collect()
+    late, stats = streaming.run_available_now(
+        streaming.windowed_counts(streaming.read_events_stream(spark, replay_late)),
+        spark,
+        with_stats=True,
+    )
+    late = late.collect()
+    assert stats["rows_dropped_by_watermark"] > 0
+    # the late replay's emitted windows represent fewer total events
+    assert sum(r["cnt"] for r in late) < sum(r["cnt"] for r in in_order)
+    # and no window ever OVERcounts the in-order truth
+    cnt_in = {r["ws"]: r["cnt"] for r in in_order}
+    for r in late:
+        if r["ws"] in cnt_in:
+            assert r["cnt"] <= cnt_in[r["ws"]]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path_factory, replay):
+    """Duplicate event_ids across micro-batches are emitted once."""
+    import pyarrow.parquet as pq
+
+    dup_dir = str(tmp_path_factory.mktemp("dup"))
+    files = sorted(os.listdir(replay))[:4]
+    for i, f in enumerate(files):
+        t = pq.read_table(os.path.join(replay, f))
+        pq.write_table(t, os.path.join(dup_dir, f"chunk-{i:03d}.parquet"))
+    # replay the SAME chunks again as later files → pure duplicates
+    for i, f in enumerate(files):
+        t = pq.read_table(os.path.join(replay, f))
+        pq.write_table(t, os.path.join(dup_dir, f"chunk-{i + 4:03d}.parquet"))
+    result = streaming.run_available_now(
+        streaming.streaming_dedup(streaming.read_events_stream(spark, dup_dir)), spark
+    )
+    n_unique = (
+        spark.read.parquet(dup_dir).select("event_id").distinct().count()
+    )
+    assert result.count() == n_unique
+    assert result.select("event_id").distinct().count() == n_unique

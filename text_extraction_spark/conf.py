@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # Media decode runs at scan partitioning (pipeline.py): split size
+        # is the decode-parallelism unit. 32 MB ≈ a few thousand images
+        # per task — fine-grained enough to keep every core busy locally
+        # and a sane work quantum on a 1000-executor cluster too.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     )
     if master:

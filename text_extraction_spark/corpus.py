@@ -257,7 +257,13 @@ def write_corpus_parquet(out_dir: str, n_docs: int, with_golden: bool = True) ->
             "spans": pa.array([d.spans for d in docs], pa.list_(span_t)),
         }
     )
-    pq.write_table(doc_tbl, os.path.join(out_dir, "documents.parquet"))
+    # Realistic row-group sizes: Spark assigns a scan split only the row
+    # groups whose midpoint falls inside it — a single giant row group
+    # would serialize the whole scan (and the decode UDF that runs at
+    # scan partitioning) onto one task.
+    pq.write_table(
+        doc_tbl, os.path.join(out_dir, "documents.parquet"), row_group_size=2000
+    )
 
     media_tbl = pa.table(
         {
@@ -268,7 +274,12 @@ def write_corpus_parquet(out_dir: str, n_docs: int, with_golden: bool = True) ->
             "data": pa.array([m.data for m in media], pa.binary()),
         }
     )
-    pq.write_table(media_tbl, os.path.join(out_dir, "media.parquet"))
+    # Small row groups: the decode UDF runs at scan partitioning, and a
+    # row group is the minimum split unit — 256 rows ≈ 3 MB keeps scan
+    # splits fine-grained enough to balance decode cost across cores.
+    pq.write_table(
+        media_tbl, os.path.join(out_dir, "media.parquet"), row_group_size=256
+    )
 
     stats = {"n_docs": len(docs), "n_media": len(media)}
     if with_golden:

@@ -1,0 +1,442 @@
+"""Training-data ops plane: deduplication, similarity search, text
+analysis, multimodal plumbing — the operations a 100 TB training-data
+pipeline needs beyond the reference's own operators (task brief), each a
+`queries()` entry over the driver testdata (documents / embeddings) or
+this repo's media store.
+
+Dedup family: exact (hash-groupBy), MinHash+LSH (shingle → minhash →
+band → bucket-join), SimHash (band-bucketed Hamming), n-gram Jaccard.
+Similarity: brute-force cosine top-k (JVM-side zip_with/aggregate — the
+baseline) and random-hyperplane LSH bucketing (the scale path: candidates
+come from bucket joins, never an all-pairs cross join).
+Text analysis: token counting (whitespace + BPE-ish regex), quality
+scoring, language ID (n-gram heuristic), document fingerprinting.
+Multimodal: binary image columns with typed metadata, decode +
+feature-extract via Arrow UDFs over the media store.
+
+Scale notes are in each docstring: every op is expressed so the
+candidate set grows linearly (bucketing/banding), not quadratically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+from .relational import t
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@q(
+    "d01_dedup_exact",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc, count(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def d01(spark, sf):
+    """Exact dedup: hash-groupBy, keep the smallest doc_id per content
+    hash. At 100 TB: a single shuffle on the 128-bit hash (uniform keys,
+    no skew), map-side partial agg; never a self-join."""
+    return (
+        t(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_MINHASH_PERMS = 16
+_MINHASH_BANDS = 4  # 4 rows per band
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_sig_udf(texts: pd.Series) -> pd.Series:
+    """MinHash signatures over word 3-shingles (vectorized numpy).
+    Hash family: (a_i * x + b_i) mod p over a 61-bit Mersenne prime,
+    seeded constants — deterministic across partitions/executors."""
+    p = (1 << 61) - 1
+    rng = np.random.Generator(np.random.PCG64(42))
+    a = rng.integers(1, p, _MINHASH_PERMS, dtype=np.int64).astype(object)
+    b = rng.integers(0, p, _MINHASH_PERMS, dtype=np.int64).astype(object)
+    out = []
+    for s in texts:
+        words = (s or "").split()
+        shingles = {" ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))}
+        import zlib
+
+        xs = np.array([zlib.crc32(sh.encode()) for sh in shingles], dtype=object)
+        sig = [int(min((ai * xs + bi) % p)) for ai, bi in zip(a, b)]
+        out.append(sig)
+    return pd.Series(out)
+
+
+@q("d02_dedup_minhash_lsh")  # ⊘ rows-only (hash family not SQL-expressible)
+def d02(spark, sf):
+    """MinHash+LSH near-dup candidates: signature → band → bucket join.
+    Candidates come from groupBy(band, band_hash) — linear in corpus
+    size + bucket collisions, never an all-pairs join. At 100 TB the
+    band explode multiplies rows by n_bands (4×) before ONE shuffle."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", minhash_sig_udf("text").alias("sig")
+    )
+    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
+    bands = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)),
+                lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string"), F.col("band_sig").cast("string")))
+    pairs = (
+        bands.groupBy("band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(F.expr(
+            "filter(flatten(transform(docs, a -> transform(docs, b -> struct(a, b)))), p -> p.a < p.b)"
+        )).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over words (crc32-seeded bit mixing, vectorized)."""
+    import zlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, s in enumerate(texts):
+        words = (s or "").split()
+        if not words:
+            out[i] = 0
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for w in set(words):
+            h = np.uint64(zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32))
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        out[i] = np.int64(np.uint64(sig).astype(np.int64))
+    return pd.Series(out)
+
+
+@q("d03_dedup_simhash")  # ⊘ rows-only
+def d03(spark, sf):
+    """SimHash near-dup: 64-bit signature, bucket by 16-bit prefix, pair
+    within buckets with Hamming distance <= 8. Prefix bucketing bounds
+    the pair join; at scale use 4 rotated prefixes to guarantee recall."""
+    d = t(spark, sf, "documents").select("doc_id", simhash_udf("text").alias("sig"))
+    b = d.withColumn("prefix", F.shiftrightunsigned("sig", 48))
+    a1 = b.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "prefix")
+    a2 = b.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "prefix")
+    return (
+        a1.join(a2, "prefix")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@q(
+    "d04_ngram_jaccard",
+    """SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+              round(CAST(len(list_intersect(list_distinct(string_split(d1.text,' ')),
+                                            list_distinct(string_split(d2.text,' ')))) AS DOUBLE)
+                    / (len(list_distinct(string_split(d1.text,' ')))
+                       + len(list_distinct(string_split(d2.text,' ')))
+                       - len(list_intersect(list_distinct(string_split(d1.text,' ')),
+                                            list_distinct(string_split(d2.text,' '))))), 6) AS jaccard
+       FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1""",
+)
+def d04(spark, sf):
+    """Exact word-set Jaccard on candidate pairs (here: consecutive ids —
+    in production the pairs come from d02/d03 candidates). JVM-side
+    array_intersect: no Python crossing."""
+    d = t(spark, sf, "documents")
+    d1 = d.select(F.col("doc_id").alias("doc_a"), F.array_distinct(F.split("text", " ")).alias("wa"))
+    d2 = d.select(F.col("doc_id").alias("doc_b"), F.array_distinct(F.split("text", " ")).alias("wb"))
+    j = d1.join(d2, d2.doc_b == d1.doc_a + 1)
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    return j.select(
+        "doc_a", "doc_b", F.round(inter.cast("double") / union, 6).alias("jaccard")
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+
+_COS_SQL = """
+WITH qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+     sims AS (
+       SELECT qv.q_id, e.vec_id,
+              round(
+                list_aggregate(list_transform(e.embedding,
+                    (x, i) -> CAST(x AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), 'sum')
+                / sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                / sqrt(list_aggregate(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * x), 'sum')),
+              4) AS cosine
+       FROM embeddings e CROSS JOIN qv
+       WHERE e.vec_id <> qv.q_id
+     ), ranked AS (
+       SELECT q_id, vec_id, cosine,
+              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+       FROM sims
+     )
+SELECT q_id, vec_id, cosine FROM ranked WHERE rn <= 5
+"""
+
+
+@q("d05_ann_cosine_bruteforce", _COS_SQL)
+def d05(spark, sf):
+    """Brute-force cosine top-k (the exact baseline): broadcast the query
+    vectors, JVM-side zip_with + aggregate in DOUBLE (no Python, no
+    shuffle except the final top-k window). At 100 TB this is the
+    verifier for d06's approximate path."""
+    e = t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    j = e.crossJoin(F.broadcast(qv)).filter(F.col("vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sims = j.select(
+        "q_id",
+        "vec_id",
+        F.round(dot / norm(F.col("embedding")) / norm(F.col("qe")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).select(
+        "q_id", "vec_id", "cosine"
+    )
+
+
+@F.pandas_udf(LongType())
+def hyperplane_bucket_udf(embs: pd.Series) -> pd.Series:
+    """Random-hyperplane LSH bucket: sign pattern of 12 seeded projections."""
+    planes = np.random.Generator(np.random.PCG64(7)).standard_normal((12, 64))
+    out = np.zeros(len(embs), dtype=np.int64)
+    for i, e in enumerate(embs):
+        v = np.asarray(e, dtype=np.float64)
+        if v.shape[0] != planes.shape[1]:
+            out[i] = -1
+            continue
+        bits = (planes @ v) > 0
+        out[i] = int(bits.astype(np.int64) @ (1 << np.arange(12)))
+    return pd.Series(out)
+
+
+@q("d06_ann_lsh_bucketed")  # ⊘ rows-only (approximate)
+def d06(spark, sf):
+    """LSH-bucketed ANN (the scale path): candidates share a hyperplane
+    sign bucket — the cross join is per-bucket, so work scales with
+    bucket occupancy, not corpus². Exact cosine re-rank inside buckets."""
+    e = t(spark, sf, "embeddings").withColumn("bucket", hyperplane_bucket_udf("embedding"))
+    a = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket")
+    b = e.select("vec_id", "embedding", "bucket")
+    j = a.join(b, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sims = j.select("q_id", "vec_id", F.round(dot / norm(F.col("embedding")) / norm(F.col("qe")), 4).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
+        "q_id", "vec_id", "cosine"
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+
+@q(
+    "d07_token_count",
+    """SELECT source,
+              sum(len(string_split_regex(text, '\\s+'))) AS ws_tokens,
+              sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_ish_tokens,
+              count(*) AS n_docs
+       FROM documents GROUP BY source""",
+)
+def d07(spark, sf):
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation,
+    all JVM-side (regexp_count — no Python crossing)."""
+    d = t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))).alias("bpe_ish_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_STOPWORDS = "the a of and to in is on for with"
+
+
+@q(
+    "d08_quality_score",
+    f"""SELECT doc_id,
+              len(string_split(text, ' ')) AS n_words,
+              round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len,
+              round(CAST(len(list_filter(string_split(text, ' '),
+                        w -> list_contains(string_split('{_STOPWORDS}', ' '), w))) AS DOUBLE)
+                    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+              CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 400
+                        AND CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3 AND 12
+                   THEN 1 ELSE 0 END AS quality_ok
+       FROM documents""",
+)
+def d08(spark, sf):
+    """Quality scoring: length / word-shape / stopword-ratio gates —
+    pure built-ins, fully pushdown-friendly."""
+    d = t(spark, sf, "documents")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    awl = F.length("text").cast("double") / nw
+    stop = F.size(
+        F.filter(words, lambda w: F.array_contains(F.split(F.lit(_STOPWORDS), " "), w))
+    ).cast("double") / nw
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(awl, 4).alias("avg_word_len"),
+        F.round(stop, 4).alias("stopword_ratio"),
+        F.when((nw.between(20, 400)) & (awl.between(3, 12)), 1).otherwise(0).alias("quality_ok"),
+    )
+
+
+@F.pandas_udf(StringType())
+def langid_udf(texts: pd.Series) -> pd.Series:
+    """Character-bigram language-ID heuristic (deterministic, tiny
+    profile table; a stand-in for a fastText-style model which this env
+    lacks). Scores bigram overlap with per-language profiles."""
+    profiles = {
+        "en": {"th", "he", "in", "er", "an", "on", "re", "ed"},
+        "es": {"de", "la", "os", "el", "en", "ar", "es", "ón"},
+        "de": {"en", "er", "ch", "de", "ei", "ie", "un", "sc"},
+        "fr": {"es", "le", "de", "en", "re", "nt", "ou", "qu"},
+        "zh": set(),
+    }
+    out = []
+    for s in texts:
+        s = (s or "").lower()
+        if any("一" <= ch <= "鿿" for ch in s[:200]):
+            out.append("zh")
+            continue
+        bigrams = {s[i : i + 2] for i in range(min(len(s), 400) - 1)}
+        best = max(
+            ((lang, len(bigrams & prof)) for lang, prof in profiles.items()),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        out.append(best[0])
+    return pd.Series(out)
+
+
+@q("d09_langid")  # ⊘ rows-only (heuristic model)
+def d09(spark, sf):
+    """Language ID over documents + agreement matrix vs the labeled lang
+    column (the testdata text is synthetic word-salad, so agreement is
+    diagnostic, not a gate)."""
+    d = t(spark, sf, "documents").select("doc_id", "lang", langid_udf("text").alias("pred"))
+    return d.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "d10_fingerprint",
+    """SELECT doc_id,
+              sum(list_aggregate(list_transform(string_split(text, ' '),
+                  (w, i) -> (length(w) * 131 + ascii(substr(w, 1, 1))) * i), 'sum')) % 2147483647 AS fp
+       FROM documents GROUP BY doc_id""",
+)
+def d10(spark, sf):
+    """Position-sensitive document fingerprint (rolling polynomial over
+    word shapes, mod 2^31-1) — pure integer arithmetic, JVM-side via
+    transform+aggregate, bit-identical to the SQL twin."""
+    d = t(spark, sf, "documents")
+    words = F.split("text", " ")
+    # Spark transform lambda index is 0-based; DuckDB's is 1-based → i+1
+    terms = F.transform(
+        words,
+        lambda w, i: (F.length(w) * 131 + F.ascii(F.substring(w, 1, 1))) * (i + 1),
+    )
+    fp = F.aggregate(terms, F.lit(0).cast(LongType()), lambda a, v: a + v) % 2147483647
+    return d.select("doc_id", fp.alias("fp"))
+
+
+# -------------------------------------------------------------- multimodal
+
+
+@q("d11_multimodal_features")  # ⊘ rows-only (own media store)
+def d11(spark, sf):
+    """Multimodal column plumbing: binary image payloads + typed metadata,
+    decoded and feature-extracted in an Arrow-batched pandas UDF
+    (mean-pooled 4x4 intensity grid — a stand-in for a real vision
+    featurizer; the decode and batch plumbing are real)."""
+    from pyspark.sql.types import DoubleType
+
+    from .extraction_queries import corpus_dir
+    from .engine.imageproc import decode_image
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def pool_udf(width: pd.Series, height: pd.Series, fmt: pd.Series, data: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(data)):
+            try:
+                g = decode_image(bytes(data.iat[i]), int(width.iat[i]), int(height.iat[i]), fmt.iat[i])
+                h, w = g.shape
+                ph, pw = h // 4, w // 4
+                pooled = [
+                    float(g[r * ph : (r + 1) * ph, c * pw : (c + 1) * pw].mean())
+                    for r in range(4)
+                    for c in range(4)
+                ]
+                out.append([round(x, 2) for x in pooled])
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    m = t(spark, corpus_dir(), "media")
+    return m.select(
+        "media_ref",
+        "fmt",
+        (F.col("width") * F.col("height")).alias("pixels"),
+        F.length("data").alias("payload_bytes"),
+        pool_udf("width", "height", "fmt", "data").alias("pool4x4"),
+    )

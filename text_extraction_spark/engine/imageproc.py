@@ -124,37 +124,33 @@ def encode_png_gray8(img: np.ndarray) -> bytes:
 
 
 def integral_image(img: np.ndarray) -> np.ndarray:
-    """Zero-padded integral image, int64 (exact for uint8 inputs)."""
-    ii = np.zeros((img.shape[0] + 1, img.shape[1] + 1), dtype=np.int64)
-    np.cumsum(np.cumsum(img.astype(np.int64), axis=0), axis=1, out=ii[1:, 1:])
+    """Zero-padded integral image, int32 (exact: 255·H·W stays far below
+    2^31 for the table-image sizes this engine handles; int32 halves the
+    memory traffic of the hottest stage — the decode UDF is DRAM-bound
+    when 32 workers run concurrently)."""
+    ii = np.zeros((img.shape[0] + 1, img.shape[1] + 1), dtype=np.int32)
+    np.cumsum(np.cumsum(img, axis=0, dtype=np.int32), axis=1, out=ii[1:, 1:])
     return ii
 
 
 def adaptive_threshold(gray: np.ndarray) -> np.ndarray:
     """A8: Bradley–Roth local-mean binarization → uint8 ink mask (1=ink).
 
-    Window is THRESH_WINDOW² clamped at the borders (true local area used
-    as the divisor). All-integer comparison: ink iff
-        pix * area * 100 < window_sum * (100 - T_PCT).
+    Mirror-reflected padding makes every window full-size (constant area),
+    so the window sum is a pure 4-slice expression over one integral
+    image — no fancy-indexing gathers. All-integer comparison: ink iff
+        pix * W² * 100 < window_sum * (100 - T_PCT),
+    strict '<' (tie → background). Bit-deterministic.
     """
-    h, w = gray.shape
     half = THRESH_WINDOW // 2
-    ii = integral_image(gray)
-    ys = np.arange(h)
-    xs = np.arange(w)
-    y0 = np.maximum(ys - half, 0)
-    y1 = np.minimum(ys + half + 1, h)
-    x0 = np.maximum(xs - half, 0)
-    x1 = np.minimum(xs + half + 1, w)
-    # Window sums via the 4-corner integral-image identity, broadcast 2-D.
-    s = (
-        ii[np.ix_(y1, x1)]
-        - ii[np.ix_(y0, x1)]
-        - ii[np.ix_(y1, x0)]
-        + ii[np.ix_(y0, x0)]
-    )
-    area = (y1 - y0)[:, None].astype(np.int64) * (x1 - x0)[None, :].astype(np.int64)
-    return (gray.astype(np.int64) * area * 100 < s * (100 - T_PCT)).astype(np.uint8)
+    w_sq = THRESH_WINDOW * THRESH_WINDOW
+    # 'reflect' (mirror about the border pixel) — edge replication would
+    # stack a dark border RULING 7× into its own window and erode it
+    p = np.pad(gray, half, mode="reflect")
+    ii = integral_image(p)
+    k = THRESH_WINDOW
+    s = ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k]
+    return (gray.astype(np.int32) * (w_sq * 100) < s * (100 - T_PCT)).astype(np.uint8)
 
 
 def denoise(mask: np.ndarray) -> np.ndarray:
@@ -163,7 +159,7 @@ def denoise(mask: np.ndarray) -> np.ndarray:
       * background pixel with all 8 neighbors ink → ink (fills holes).
     Preserves 1-px strokes and rulings exactly (every stroke pixel has
     >= 1 ink neighbor)."""
-    p = np.zeros((mask.shape[0] + 2, mask.shape[1] + 2), dtype=np.int16)
+    p = np.zeros((mask.shape[0] + 2, mask.shape[1] + 2), dtype=np.uint8)
     p[1:-1, 1:-1] = mask
     nb = (
         p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
@@ -197,8 +193,8 @@ def detect_rulings(mask: np.ndarray) -> tuple[list[int], list[int]]:
     densest text row stays ≤ 75% (margin asserted in tests).
     """
     h, w = mask.shape
-    rows = _ruling_positions(mask.sum(axis=1), w)
-    cols = _ruling_positions(mask.sum(axis=0), h)
+    rows = _ruling_positions(mask.sum(axis=1, dtype=np.int32), w)
+    cols = _ruling_positions(mask.sum(axis=0, dtype=np.int32), h)
     return rows, cols
 
 

@@ -1,0 +1,172 @@
+"""Extraction-plane queries for the driver contract (SURVEY §2-A).
+
+Two groups:
+
+1. Oracle-checked (DuckDB twin): the real extraction UDFs run over the
+   driver's flat `documents` testdata. Flat word-salad text tokenizes to
+   a single block with zero link density, so the Kohlschütter tree
+   reduces to `keep iff words > 16` — exactly expressible in SQL. The
+   driver therefore value-checks the REAL UDF chain, not a stand-in.
+
+2. Rows-only (⊘): the full interleaved pipeline (A1–A19) over this
+   repo's own corpus (generated deterministically into a /tmp cache on
+   first use — testdata has no media/spans table). The golden-equality
+   query returns MISMATCH rows, so its correct row-count is 0.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import t
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+_CORPUS_VERSION = "v1"
+_CORPUS_DOCS = 250
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------ oracle-checked (testdata)
+
+
+@q(
+    "x01_main_content_extraction",
+    """SELECT doc_id, text AS main_text FROM documents
+       WHERE len(string_split(text, ' ')) > 16""",
+)
+def x01(spark, sf):
+    """A5+A6+A14 fused UDF over flat documents: single zero-link block →
+    Kohlschütter keeps iff words > 16; dropped docs are filtered."""
+    from .pipeline import extract_text_udf
+
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", extract_text_udf("text").alias("main_text"))
+        .filter(F.col("main_text").isNotNull())
+    )
+
+
+@q(
+    "x02_tokenize_features",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS words,
+              0 AS link_words,
+              length(text) AS chars
+       FROM documents""",
+)
+def x02(spark, sf):
+    """A5 tokenizer features via a struct-returning pandas UDF."""
+    from .engine.textproc import tokenize
+
+    @F.pandas_udf("words int, link_words int, chars int")
+    def feats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in texts:
+            blocks = tokenize(s or "")
+            rows.append(
+                {
+                    "words": sum(b.words for b in blocks),
+                    "link_words": sum(b.link_words for b in blocks),
+                    "chars": sum(b.chars for b in blocks) + max(len(blocks) - 1, 0),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    d = t(spark, sf, "documents").select("doc_id", feats("text").alias("f"))
+    return d.select(
+        "doc_id",
+        F.col("f.words").alias("words"),
+        F.col("f.link_words").alias("link_words"),
+        F.col("f.chars").alias("chars"),
+    )
+
+
+# --------------------------------------------------- rows-only (own corpus)
+
+
+def corpus_dir() -> str:
+    """Deterministic fixture corpus, generated once per content version."""
+    d = f"/tmp/tes_corpus_{_CORPUS_VERSION}_{_CORPUS_DOCS}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        from .corpus import write_corpus_parquet
+
+        write_corpus_parquet(d, _CORPUS_DOCS)
+        open(marker, "w").write("ok")
+    return d
+
+
+def _run_pipeline(spark: SparkSession) -> str:
+    out = f"/tmp/tes_out_{_CORPUS_VERSION}_{_CORPUS_DOCS}"
+    if not os.path.exists(os.path.join(out, "extracted")):
+        from .pipeline import extract_corpus
+
+        extract_corpus(spark, corpus_dir(), out, run_id="entryq")
+    return out
+
+
+@q("x03_extract_corpus_pipeline")  # ⊘ rows-only
+def x03(spark, sf):
+    """Full A1–A19 pipeline over the interleaved corpus; returns the
+    extracted doc-level table (doc_id, n_spans, n_media, n_text)."""
+    out = _run_pipeline(spark)
+    e = spark.read.parquet(os.path.join(out, "extracted"))
+    return e.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "text")).alias("n_text"),
+    )
+
+
+@q("x04_golden_equality_mismatches")  # ⊘ rows-only; correct row-count is 0
+def x04(spark, sf):
+    """A16: span-sequence equality vs the single-process golden oracle.
+    Every row is a mismatching document — 0 rows = exact parity."""
+    from .pipeline import compare_golden
+
+    out = _run_pipeline(spark)
+    e = spark.read.parquet(os.path.join(out, "extracted"))
+    g = spark.read.parquet(os.path.join(corpus_dir(), "golden.parquet"))
+    return compare_golden(e, g)
+
+
+@q("x05_extraction_metrics")  # ⊘ rows-only
+def x05(spark, sf):
+    """A17 per-partition lineage + metrics table of the pipeline run."""
+    out = _run_pipeline(spark)
+    return spark.read.parquet(os.path.join(out, "metrics"))
+
+
+@q("x06_media_table_ocr")  # ⊘ rows-only
+def x06(spark, sf):
+    """A7–A13 media path standalone: decode + table OCR over the image
+    store (media_ref, n_rows, n_cols, table_text)."""
+    from .pipeline import extract_media_udf
+
+    m = spark.read.parquet(os.path.join(corpus_dir(), "media.parquet"))
+    out = m.select(
+        "media_ref",
+        extract_media_udf("width", "height", "fmt", "data").alias("table_text"),
+    )
+    return out.select(
+        "media_ref",
+        (F.size(F.split("table_text", "\n"))).alias("n_rows"),
+        (F.size(F.split(F.split("table_text", "\n").getItem(0), r"\|"))).alias("n_cols"),
+        "table_text",
+    )

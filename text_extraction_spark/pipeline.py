@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -97,10 +98,34 @@ METRICS_SCHEMA = StructType(
 # --------------------------------------------------------------------- A5+A6
 
 
+_TIMED_SCHEMA = StructType(
+    [StructField("out_text", StringType()), StructField("proc_ms", DoubleType())]
+)
+
+
+@F.pandas_udf(_TIMED_SCHEMA)
+def extract_text_udf_timed(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Fused A5 tokenize + A6 Kohlschütter classify + A14 normalize,
+    with the A17 timing folded into the SAME Arrow crossing (proc_ms =
+    per-row share of the batch's Python wall — summing per partition
+    reconstructs partition wall time; a separate mapInPandas tap would
+    cost a second full Python crossing and block filter pushdown).
+    out_text NULL = span dropped (every block boilerplate)."""
+    for batch in texts:
+        t0 = time.monotonic()
+        vals = [
+            (normalize_text(extract_main(s)) or None) if s is not None else None
+            for s in batch
+        ]
+        dt_ms = (time.monotonic() - t0) * 1000.0
+        yield pd.DataFrame(
+            {"out_text": pd.Series(vals, dtype="object"), "proc_ms": dt_ms / max(len(batch), 1)}
+        )
+
+
 @F.pandas_udf(StringType())
 def extract_text_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Fused A5 tokenize + A6 Kohlschütter classify + A14 normalize.
-    NULL result = span dropped (all blocks boilerplate)."""
+    """Plain-string variant of the fused text path (entry/flagship use)."""
     for batch in texts:
         yield pd.Series(
             [
@@ -114,54 +139,63 @@ def extract_text_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
 # ------------------------------------------------------------------ A7–A14
 
 
+def _extract_one_media(width, height, fmt, data) -> str | None:
+    if data is None:
+        return None
+    try:
+        gray = decode_image(bytes(data), int(width), int(height), fmt)
+        return extract_table(gray) or None
+    except Exception:
+        return None
+
+
+@F.pandas_udf(_TIMED_SCHEMA)
+def extract_media_udf_timed(
+    it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
+) -> Iterator[pd.DataFrame]:
+    """Fused media path: decode (A7) → adaptive threshold (A8) → denoise
+    (A9) → rulings (A10) → grid (A11) → slot OCR (A12) → row-major
+    assembly (A13), timing folded in (see extract_text_udf_timed).
+    NULL = dropped (unresolved ref / decode error / no grid). Iterator
+    form: one Arrow crossing per batch, setup amortized per partition."""
+    for width, height, fmt, data in it:
+        t0 = time.monotonic()
+        vals = [
+            _extract_one_media(width.iat[i], height.iat[i], fmt.iat[i], data.iat[i])
+            for i in range(len(data))
+        ]
+        dt_ms = (time.monotonic() - t0) * 1000.0
+        yield pd.DataFrame(
+            {"out_text": pd.Series(vals, dtype="object"), "proc_ms": dt_ms / max(len(data), 1)}
+        )
+
+
 @F.pandas_udf(StringType())
 def extract_media_udf(
     it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
 ) -> Iterator[pd.Series]:
-    """Fused media path: decode (A7) → adaptive threshold (A8) → denoise
-    (A9) → rulings (A10) → grid (A11) → slot OCR (A12) → row-major
-    assembly (A13). NULL = dropped (unresolved ref / decode error / no
-    grid). Iterator form: one Arrow crossing per batch, numpy setup
-    amortized across the partition."""
+    """Plain-string variant of the fused media path (standalone OCR query)."""
     for width, height, fmt, data in it:
-        out = []
-        for i in range(len(data)):
-            blob = data.iat[i]
-            if blob is None:
-                out.append(None)
-                continue
-            try:
-                gray = decode_image(bytes(blob), int(width.iat[i]), int(height.iat[i]), fmt.iat[i])
-                out.append(extract_table(gray) or None)
-            except Exception:
-                out.append(None)
-        yield pd.Series(out, dtype="object")
+        yield pd.Series(
+            [
+                _extract_one_media(width.iat[i], height.iat[i], fmt.iat[i], data.iat[i])
+                for i in range(len(data))
+            ],
+            dtype="object",
+        )
 
 
-# ---------------------------------------------------------------------- A17
-
-
-def _metrics_tap(schema_fields: list[str]):
-    """mapInPandas tap: pulls batches through the upstream (lazy) UDF
-    stage, timing each pull — so proc_ms genuinely measures the Python
-    extraction work of this partition — and stamps partition lineage."""
-
-    def tap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        t0 = time.monotonic()
-        for batch in it:
-            dt_ms = (time.monotonic() - t0) * 1000.0
-            batch = batch.copy()
-            batch["partition_id"] = pid
-            # per-row share of the batch wall time; summing reconstructs
-            # the partition wall without holding the partition in memory
-            batch["proc_ms"] = dt_ms / max(len(batch), 1)
-            yield batch
-            t0 = time.monotonic()
-
-    return tap
+# The extraction UDFs ARE deterministic (bit-deterministic, asserted by
+# tests), but they are marked nondeterministic ON PURPOSE: otherwise
+# Catalyst pushes `isNotNull(out_text)` filters below the salt
+# repartition and DUPLICATES the ArrowEvalPython node — the whole Python
+# extraction ran twice (observed: 4 ArrowEvalPython nodes in the
+# reassemble plan, 2× wall time). This only disables filter
+# pushdown/collapse THROUGH the UDF; results and retries are unaffected.
+extract_text_udf_timed = extract_text_udf_timed.asNondeterministic()
+extract_media_udf_timed = extract_media_udf_timed.asNondeterministic()
+extract_text_udf = extract_text_udf.asNondeterministic()
+extract_media_udf = extract_media_udf.asNondeterministic()
 
 
 # ------------------------------------------------------------------ pipeline
@@ -205,56 +239,80 @@ def extract_spans(
         F.col("s.offset").alias("offset"),
     )
 
-    # ---- text path: never carries media columns through Arrow
+    # ---- text path: never carries media columns through Arrow.
+    # A4: explicit salted repartition at span granularity BEFORE the
+    # Python stage — doc-level skew (media-heavy docs [B:6]) dissolves
+    # because the salt includes the span offset, not just doc_id.
     text_in = spans.filter(F.col("kind") == "text").select(
-        "doc_id", "offset", "text", F.length("text").alias("est_cost")
+        "doc_id", "offset", "text", F.length("text").cast(LongType()).alias("est_cost")
     )
-    # A4: explicit salted repartition at span granularity — doc-level
-    # skew (media-heavy docs [B:6]) dissolves because the salt includes
-    # the span offset, not just doc_id.
     text_in = text_in.repartition(salt_partitions, F.xxhash64("doc_id", "offset"))
     text_out = text_in.select(
         "doc_id",
         "offset",
         F.lit("text").alias("kind"),
         F.lit(None).cast(StringType()).alias("media_ref"),
-        extract_text_udf("text").alias("out_text"),
-        F.col("est_cost").cast(LongType()).alias("est_cost"),
+        extract_text_udf_timed("text").alias("r"),
+        "est_cost",
     )
 
-    # ---- media path: resolve media_ref (A2), then extract
+    # ---- media path: the decode UDF runs AT SCAN PARTITIONING — image
+    # bytes NEVER shuffle. Parquet scan splits are byte-uniform, which
+    # IS the cost-balanced partitioning for pixel-proportional decode
+    # work (the A4 skew story for media; refs are unique per image so no
+    # key skew exists). Only the small (media_ref, extracted text, cost)
+    # rows join to spans — shuffle volume drops from image bytes to
+    # extracted text. Scan split size is the parallelism lever
+    # (spark.sql.files.maxPartitionBytes, see conf.py).
     media_in = spans.filter(F.col("kind") == "media").select(
         "doc_id", "offset", "media_ref"
     )
-    m = media.select("media_ref", "width", "height", "fmt", "data")
+    media_results = media.select(
+        "media_ref",
+        extract_media_udf_timed("width", "height", "fmt", "data").alias("r"),
+        (F.col("width") * F.col("height")).cast(LongType()).alias("est_cost"),
+        (F.spark_partition_id() * 2 + 1).alias("partition_id"),
+    )
     if broadcast_media is True:
-        m = F.broadcast(m)
-    joined = media_in.join(m, "media_ref", "left")
-    # A3 est_cost = pixel count; A4 salted repartition (see text path)
-    joined = joined.withColumn(
-        "est_cost",
-        (F.coalesce(F.col("width"), F.lit(0)) * F.coalesce(F.col("height"), F.lit(0))).cast(LongType()),
-    ).repartition(salt_partitions, F.xxhash64("doc_id", "offset"))
-    media_out = joined.select(
+        media_results = F.broadcast(media_results)
+    else:
+        # build the small (text, cost) side in a hash map — skips the
+        # sort-merge sorts on both sides
+        media_results = media_results.hint("shuffle_hash")
+    media_out = media_in.join(media_results, "media_ref", "left").select(
         "doc_id",
         "offset",
         F.lit("media").alias("kind"),
         "media_ref",
-        extract_media_udf("width", "height", "fmt", "data").alias("out_text"),
+        "r",
+        F.coalesce("est_cost", F.lit(0)).alias("est_cost"),
+        F.coalesce("partition_id", F.lit(-1)).alias("partition_id"),
+    )
+
+    # A17 lineage: partition id JVM-side (same stage as its UDF), timing
+    # from inside the UDFs — zero extra Python crossings. Ids are
+    # disambiguated even=text / odd=media; -1 = unresolved media_ref.
+    text_final = text_out.select(
+        "doc_id",
+        "offset",
+        "kind",
+        "media_ref",
+        F.col("r.out_text").alias("out_text"),
         "est_cost",
+        (F.spark_partition_id() * 2).alias("partition_id"),
+        F.col("r.proc_ms").alias("proc_ms"),
     )
-
-    unioned = text_out.unionByName(media_out)
-    from pyspark.sql.types import DoubleType
-
-    tapped_schema = StructType(
-        unioned.schema.fields
-        + [
-            StructField("partition_id", IntegerType()),
-            StructField("proc_ms", DoubleType()),
-        ]
+    media_final = media_out.select(
+        "doc_id",
+        "offset",
+        "kind",
+        "media_ref",
+        F.col("r.out_text").alias("out_text"),
+        "est_cost",
+        "partition_id",
+        F.col("r.proc_ms").alias("proc_ms"),
     )
-    return unioned.mapInPandas(_metrics_tap(unioned.columns), tapped_schema)
+    return text_final.unionByName(media_final)
 
 
 def reassemble(span_df: DataFrame, corpus: DataFrame) -> DataFrame:
@@ -265,14 +323,24 @@ def reassemble(span_df: DataFrame, corpus: DataFrame) -> DataFrame:
     a window partitioned by doc_id reuses the hash partitioning: one
     shuffle, not two. Docs whose every span dropped keep an empty array.
     """
+    spark = span_df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     survivors = span_df.filter(F.col("out_text").isNotNull())
-    w = Window.partitionBy("doc_id").orderBy("offset")
-    ranked = survivors.withColumn("order", (F.row_number().over(w) - 1).cast(IntegerType()))
-    assembled = ranked.groupBy("doc_id").agg(
+    # Explicit repartition on the groupBy key: the aggregation reuses this
+    # partitioning (no second shuffle) and — being user-specified — it is
+    # exempt from AQE coalescing, which would otherwise collapse the
+    # collect_list/sort_array work onto 1-2 tasks by byte-size heuristics.
+    survivors = survivors.repartition(n_parts, "doc_id")
+    # ONE shuffle total: groupBy(doc_id) collects surviving spans, then
+    # sort_array orders them by the struct's leading `offset` field and
+    # the indexed transform assigns the dense 0-based `order` — no
+    # separate Window stage (a row_number() window would add a second
+    # sort exchange over the full span data for nothing).
+    assembled = survivors.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
-                    F.col("order"),
+                    F.col("offset"),
                     F.col("kind"),
                     F.col("out_text").alias("text"),
                     F.col("media_ref"),
@@ -283,11 +351,11 @@ def reassemble(span_df: DataFrame, corpus: DataFrame) -> DataFrame:
         "doc_id",
         F.transform(
             "ordered",
-            lambda x: F.struct(
+            lambda x, i: F.struct(
                 x["kind"].alias("kind"),
                 x["text"].alias("text"),
                 x["media_ref"].alias("media_ref"),
-                x["order"].alias("order"),
+                i.cast(IntegerType()).alias("order"),
             ),
         ).alias("spans"),
     )

@@ -1,0 +1,126 @@
+"""Structured Streaming plane — SURVEY.md §2-B Q28–Q32 streaming twins.
+
+Batch-mode window aggregations (tumbling/sliding/session) live in
+relational.py with DuckDB oracles; this module provides the genuinely
+streaming pieces: a deterministic file-source replay of the `events`
+table, watermarked windowed aggregation under Trigger.AvailableNow, and
+streaming dedup — with late-data semantics asserted in
+tests/test_streaming.py (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def make_replay_dir(
+    sf_dir: str, out_dir: str, n_chunks: int = 10, late_chunk: bool = False
+) -> str:
+    """Split events.parquet into n chronological chunks (chunk-00..NN) —
+    a deterministic stand-in for a stream arriving in event-time order.
+
+    late_chunk=True: hold back a slice of the OLDEST events and append it
+    as the final chunk — rows that arrive after the watermark has passed
+    their window, to exercise late-data dropping.
+    """
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    order = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(order.column("ts"))
+    tbl = tbl.take(idx)
+    os.makedirs(out_dir, exist_ok=True)
+    n = tbl.num_rows
+    if late_chunk:
+        # oldest 5% arrives LAST
+        held = tbl.slice(0, max(1, n // 20))
+        rest = tbl.slice(max(1, n // 20))
+        step = max(1, rest.num_rows // n_chunks)
+        chunks = [rest.slice(i * step, step) for i in range(n_chunks - 1)]
+        tail = rest.slice((n_chunks - 1) * step)
+        if tail.num_rows:
+            chunks.append(tail)
+        chunks.append(held)
+    else:
+        step = max(1, n // n_chunks)
+        chunks = [tbl.slice(i * step, step) for i in range(n_chunks - 1)]
+        chunks.append(tbl.slice((n_chunks - 1) * step))
+    for i, c in enumerate(c for c in chunks if c.num_rows):
+        pq.write_table(c, os.path.join(out_dir, f"chunk-{i:03d}.parquet"))
+    return out_dir
+
+
+def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    schema = spark.read.parquet(replay_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+        # parquet µs timestamps surface as TIMESTAMP_NTZ in Spark 4, but
+        # watermarks require TIMESTAMP; session tz is UTC so values are
+        # unchanged by the cast.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, spark: SparkSession, with_stats: bool = False
+):
+    """Run a streaming aggregation to completion with Trigger.AvailableNow
+    into a memory sink; return the materialized result (and, with
+    with_stats=True, per-run totals incl. rows dropped by watermark)."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name)
+    if not with_stats:
+        return result
+    dropped = 0
+    batches = 0
+    for p in q.recentProgress:
+        batches += 1
+        for so in p["stateOperators"]:
+            dropped += so.get("numRowsDroppedByWatermark", 0) or 0
+    return result, {"batches": batches, "rows_dropped_by_watermark": dropped}
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts (Q31). In append mode a window
+    is emitted only once the watermark passes its end — late rows older
+    than the watermark are dropped from state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("ws"), "cnt", "total")
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "60 minutes") -> DataFrame:
+    """Q32 streaming twin: exactly-once event_id dedup bounded by a
+    watermark (state is purged past it)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id")
+    )
+
+
+def windowed_counts_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q31 entry: replay events as a file stream, watermarked windowed
+    counts, AvailableNow to completion (rows-only driver check)."""
+    import tempfile
+
+    replay = make_replay_dir(sf_dir, tempfile.mkdtemp(prefix="events_replay_"))
+    return run_available_now(windowed_counts(read_events_stream(spark, replay)), spark)
