@@ -88,3 +88,59 @@ def test_raw_u8_decode():
 def test_decode_rejects_unknown_fmt():
     with pytest.raises(ValueError):
         imageproc.decode_image(b"", 1, 1, "jpeg")
+
+
+def test_png_decoder_all_filter_types():
+    """Hand-encode rows with PNG filters 0–4 and assert exact recovery."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from text_extraction_spark.engine.imageproc import decode_image
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.integers(0, 256, (5, 8), dtype=np.uint8)
+    w = img.shape[1]
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = img[y].astype(np.int32)
+        filt = np.zeros(w, dtype=np.int32)
+        for x in range(w):
+            a = int(row[x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[x] = (int(row[x]) - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, img.shape[0], 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(png, w, img.shape[0], "png"), img)

@@ -1,0 +1,106 @@
+"""Physical-plan assertions (SURVEY §4: 'rely on it; assert via explain()
+in tests'): pushdown, pruning, join strategies, single UDF evaluation,
+and scan-aligned decode partitioning — the plan shapes the 100 TB story
+depends on, pinned so refactors can't silently regress them."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_extraction_spark import pipeline, relational
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_projection_prunes_scan_schema(spark):
+    df = relational.QUERIES["q01_scan_projection"](spark, SF)
+    plan = _plan(df)
+    assert "l_orderkey" in plan
+    # unprojected columns never reach the scan
+    assert "l_comment" not in plan and "l_extendedprice" not in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = relational.QUERIES["q02_filter_predicates"](spark, SF)
+    plan = _plan(df)
+    # plan toString truncates the list; assert the prefix reached parquet
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThanOrEqual(l_ship" in plan
+
+
+def test_broadcast_join_is_broadcast(spark):
+    df = relational.QUERIES["q03_broadcast_join"](spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_semi_and_anti_join_strategies(spark):
+    assert "LeftSemi" in _plan(relational.QUERIES["q06_left_semi_join"](spark, SF))
+    assert "LeftAnti" in _plan(relational.QUERIES["q07_left_anti_join"](spark, SF))
+
+
+def test_extraction_udfs_evaluate_exactly_once(spark, tiny_corpus):
+    """The nondeterministic marking exists to stop Catalyst duplicating
+    ArrowEvalPython around pushed filters — exactly 2 Python stages
+    (text + media) in the full reassembled plan."""
+    c = pipeline.load_corpus(spark, tiny_corpus)
+    m = pipeline.load_media(spark, tiny_corpus)
+    plan = _plan(pipeline.reassemble(pipeline.extract_spans(c, m), c))
+    assert plan.count("ArrowEvalPython") == 2
+
+
+def test_media_bytes_never_shuffle(spark, tiny_corpus):
+    """The decode UDF must sit directly on the media scan: no Exchange
+    between the parquet scan of `data` and ArrowEvalPython."""
+    c = pipeline.load_corpus(spark, tiny_corpus)
+    m = pipeline.load_media(spark, tiny_corpus)
+    plan = _plan(pipeline.extract_spans(c, m))
+    # walk the media branch: from the media parquet scan upward, the
+    # first operator containing the UDF must appear before any Exchange
+    lines = plan.splitlines()
+    scan_idx = next(i for i, l in enumerate(lines) if "media.parquet" in l)
+    # search upward (towards the plan root) from the scan
+    between = []
+    for l in reversed(lines[:scan_idx]):
+        between.append(l)
+        if "extract_media_udf" in l:
+            break
+    assert not any("Exchange" in l for l in between), (
+        "image bytes crossed a shuffle before the decode UDF:\n" + "\n".join(between)
+    )
+
+
+def test_text_path_never_reads_media_columns(spark, tiny_corpus):
+    c = pipeline.load_corpus(spark, tiny_corpus)
+    m = pipeline.load_media(spark, tiny_corpus)
+    spans = pipeline.extract_spans(c, m)
+    text_plan = _optimized(spans.filter(F.col("kind") == "text"))
+    # constant-folded branch pruning: the text-only projection must not
+    # carry the binary `data` column anywhere
+    assert "data" not in text_plan.replace("DataFilters", "")
+
+
+def test_salt_repartition_is_aqe_exempt(spark, tiny_corpus):
+    """The salted repartitions must be user-specified (REPARTITION_BY_NUM)
+    so AQE cannot coalesce the Python stages to 1 task."""
+    c = pipeline.load_corpus(spark, tiny_corpus)
+    m = pipeline.load_media(spark, tiny_corpus)
+    plan = _plan(pipeline.extract_spans(c, m))
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_resume_read_prunes_committed_buckets(spark, tiny_corpus, tmp_path_factory):
+    """Partition pruning on the bucket= layout: a bucket filter must
+    reach the file index (partition filters), not scan all buckets."""
+    out = str(tmp_path_factory.mktemp("prune"))
+    pipeline.extract_corpus(spark, tiny_corpus, out, run_id="p1", n_buckets=4)
+    e = spark.read.parquet(f"{out}/extracted").filter(F.col("bucket") == 2)
+    plan = _plan(e)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert e.count() > 0

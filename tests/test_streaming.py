@@ -94,3 +94,45 @@ def test_streaming_dedup_within_watermark(spark, tmp_path_factory, replay):
     )
     assert result.count() == n_unique
     assert result.select("event_id").distinct().count() == n_unique
+
+
+def test_stateful_running_totals_match_batch(spark, replay):
+    """applyInPandasWithState running totals: the LAST update emitted per
+    user equals the batch groupBy total."""
+    import uuid
+
+    stream = streaming.read_events_stream(spark, replay)
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        streaming.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per (user, batch); the running total is
+    # monotone, so the final state is the max per user
+    result = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    batch = (
+        spark.read.parquet(replay)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in result.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 0.05  # per-batch rounding drift

@@ -483,7 +483,12 @@ def extract_corpus(
     # ---- stage write, then per-bucket atomic rename + manifest commit
     staging = os.path.join(out_path, f"_staging_{run_id}")
     final_dir = os.path.join(out_path, "extracted")
-    extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    # one output file per bucket: repartition BY bucket count so each
+    # task holds whole buckets (otherwise every reassembly task writes a
+    # sliver into every bucket dir — tasks × buckets small files)
+    extracted.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(staging)
 
     os.makedirs(final_dir, exist_ok=True)
     committed_now = 0

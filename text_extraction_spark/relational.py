@@ -667,3 +667,19 @@ def q32(spark, sf):
     e = t(spark, sf, "events").select("event_id", "ts", "user_id")
     dup = e.unionAll(e)
     return dup.dropDuplicates(["event_id"])
+
+
+@q("q33_stateful_running_totals")  # ⊘ rows-only: custom stateful streaming op
+def q33(spark, sf):
+    """applyInPandasWithState custom stateful operator (running per-user
+    totals across micro-batches); semantics asserted against the batch
+    twin in tests/test_streaming.py."""
+    import tempfile
+
+    from . import streaming
+
+    replay = streaming.make_replay_dir(sf, tempfile.mkdtemp(prefix="events_state_"))
+    return streaming.run_available_now(
+        streaming.running_user_totals(streaming.read_events_stream(spark, replay)),
+        spark,
+    )

@@ -117,6 +117,38 @@ def streaming_dedup(stream: DataFrame, watermark: str = "60 minutes") -> DataFra
     )
 
 
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY §2-C):
+    per-user running event count + value total maintained across
+    micro-batches in explicit GroupState — the pattern for stateful
+    logic that windows/dedup can't express. Update output mode: each
+    batch emits the refreshed running totals for the users it touched."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(v, 2)]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, v double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_counts_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q31 entry: replay events as a file stream, watermarked windowed
     counts, AvailableNow to completion (rows-only driver check)."""
