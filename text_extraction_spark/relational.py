@@ -682,4 +682,5 @@ def q33(spark, sf):
     return streaming.run_available_now(
         streaming.running_user_totals(streaming.read_events_stream(spark, replay)),
         spark,
+        output_mode="update",
     )

@@ -69,7 +69,10 @@ def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, spark: SparkSession, with_stats: bool = False
+    stream_df: DataFrame,
+    spark: SparkSession,
+    with_stats: bool = False,
+    output_mode: str = "append",
 ):
     """Run a streaming aggregation to completion with Trigger.AvailableNow
     into a memory sink; return the materialized result (and, with
@@ -78,7 +81,7 @@ def run_available_now(
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
