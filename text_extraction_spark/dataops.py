@@ -291,8 +291,8 @@ def d06(spark, sf):
 @q(
     "d07_token_count",
     """SELECT source,
-              sum(len(string_split_regex(text, '\\s+'))) AS ws_tokens,
-              sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_ish_tokens,
+              CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS ws_tokens,
+              CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_ish_tokens,
               count(*) AS n_docs
        FROM documents GROUP BY source""",
 )
@@ -313,7 +313,7 @@ _STOPWORDS = "the a of and to in is on for with"
 @q(
     "d08_quality_score",
     f"""SELECT doc_id,
-              len(string_split(text, ' ')) AS n_words,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_words,
               round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len,
               round(CAST(len(list_filter(string_split(text, ' '),
                         w -> list_contains(string_split('{_STOPWORDS}', ' '), w))) AS DOUBLE)
@@ -381,8 +381,9 @@ def d09(spark, sf):
 @q(
     "d10_fingerprint",
     """SELECT doc_id,
-              sum(list_aggregate(list_transform(string_split(text, ' '),
-                  (w, i) -> (length(w) * 131 + ascii(substr(w, 1, 1))) * i), 'sum')) % 2147483647 AS fp
+              CAST(sum(list_aggregate(list_transform(string_split(text, ' '),
+                  (w, i) -> (length(w) * 131 + ascii(substr(w, 1, 1))) * i), 'sum'))
+                   % 2147483647 AS BIGINT) AS fp
        FROM documents GROUP BY doc_id""",
 )
 def d10(spark, sf):

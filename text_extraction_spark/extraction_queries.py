@@ -64,9 +64,9 @@ def x01(spark, sf):
 @q(
     "x02_tokenize_features",
     """SELECT doc_id,
-              len(string_split(text, ' ')) AS words,
-              0 AS link_words,
-              length(text) AS chars
+              CAST(len(string_split(text, ' ')) AS INT) AS words,
+              CAST(0 AS INT) AS link_words,
+              CAST(length(text) AS INT) AS chars
        FROM documents""",
 )
 def x02(spark, sf):

@@ -356,7 +356,7 @@ def q17(spark, sf):
               upper(p_brand) AS ubrand,
               substring(p_type, 1, 5) AS type5,
               concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
-              length(trim(p_name)) AS name_len,
+              CAST(length(trim(p_name)) AS INT) AS name_len,
               regexp_extract(p_type, '([A-Za-z]+)', 1) AS first_word,
               replace(p_name, ' ', '_') AS snake
        FROM part WHERE p_partkey % 7 = 0""",
@@ -426,8 +426,8 @@ def q20(spark, sf):
 @q(
     "q21_array_funcs",
     """SELECT doc_id,
-              len(string_split(text, ' ')) AS n_words,
-              len(list_distinct(string_split(text, ' '))) AS n_distinct,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+              CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
               list_contains(string_split(text, ' '), 'spark') AS has_spark,
               array_to_string(list_sort(string_split(text, ' ')[1:2]), '_') AS first2_sorted
        FROM documents WHERE doc_id % 5 = 0""",
@@ -448,7 +448,7 @@ def q21(spark, sf):
     "q22_json_funcs",
     """SELECT event_type,
               count(*) AS cnt,
-              sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+              CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY event_type""",
 )
@@ -490,7 +490,7 @@ def q23(spark, sf):
 
 @q(
     "q24_pandas_scalar_udf",
-    """SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents""",
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words FROM documents""",
 )
 def q24(spark, sf):
     """Arrow-vectorized scalar pandas UDF; oracle = the equivalent SQL
