@@ -33,11 +33,46 @@ def _ensure_pythonpath() -> None:
         os.environ["PYTHONPATH"] = f"{root}{os.pathsep}{pp}" if pp else root
 
 
+def _ensure_workers(spark: SparkSession) -> None:
+    """PYTHONPATH set after the JVM launched does NOT reach Python
+    workers; addPyFile does. Ship the package zip to the session once so
+    UDFs deserialize regardless of how/where the caller built the
+    session."""
+    sc = spark.sparkContext
+    if getattr(sc, "_tes_pyfiles_added", False):
+        return
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join("/tmp", "tes_engine_pyfiles.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(root, "text_extraction_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(dirpath, f)
+                        z.write(p, os.path.relpath(p, root))
+    sc.addPyFile(zpath)
+    sc._tes_pyfiles_added = True
+
+
+def _wrap(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on /root/testdata/sf0.001: Kohlschütter main-content
     extraction UDF over documents, quality features, per-language
     rollup. Driver checks rows > 0 and a stable schema."""
     _ensure_pythonpath()
+    _ensure_workers(spark)
     from pyspark.sql import functions as F
 
     from text_extraction_spark.pipeline import extract_text_udf
@@ -69,7 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(extraction_queries.QUERIES)
     out.update(dataops.QUERIES)
-    return out
+    return {name: _wrap(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
