@@ -104,3 +104,18 @@ def test_resume_read_prunes_committed_buckets(spark, tiny_corpus, tmp_path_facto
     plan = _plan(e)
     assert "PartitionFilters" in plan and "bucket" in plan
     assert e.count() > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """q34: both sides bucketBy(8, key) → join AND groupBy on the key run
+    with zero shuffle exchanges (broadcast of the filtered dim is fine)."""
+    df = relational.QUERIES["q34_bucketed_colocated_join"](spark, SF)
+    plan = _plan(df)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_udtf_lateral_join_runs(spark):
+    df = relational.QUERIES["q35_udtf_word_explode"](spark, SF)
+    assert df.count() > 0
+    assert df.columns == ["doc_id", "word", "n"]

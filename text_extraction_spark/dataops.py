@@ -441,3 +441,55 @@ def d11(spark, sf):
         F.length("data").alias("payload_bytes"),
         pool_udf("width", "height", "fmt", "data").alias("pool4x4"),
     )
+
+
+_NEARDUP_SQL = """
+WITH v AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_aggregate(list_transform(a.embedding,
+                   (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+               / a.nrm / b.nrm, 4) AS cosine
+  FROM v a JOIN v b ON b.label = a.label AND b.vec_id > a.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.30
+"""
+
+
+@q("d12_embedding_cosine_near_dup", _NEARDUP_SQL)
+def d12(spark, sf):
+    """Embedding-cosine near-dup detection: candidate pairs are blocked
+    by cluster label (at 100 TB: by an IVF/LSH bucket — see d06), then
+    exact double-precision cosine >= threshold, all JVM-side. The join
+    is per-block, never corpus²."""
+    e = t(spark, sf, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    v = e.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), "label",
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    j = a.join(b, "label").filter(F.col("vec_b") > F.col("vec_a"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v_: acc + v_,
+    )
+    cos = dot / F.col("na") / F.col("nb")
+    return j.select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")).filter(
+        F.col("cosine") >= 0.30
+    )

@@ -684,3 +684,88 @@ def q33(spark, sf):
         spark,
         output_mode="update",
     )
+
+
+@q(
+    "q34_bucketed_colocated_join",
+    """SELECT l.l_orderkey, count(*) AS n_items,
+              round(sum(l.l_extendedprice), 2) AS order_price_sum,
+              max(o.o_totalprice) AS o_totalprice
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey % 25 = 0
+       GROUP BY l.l_orderkey""",
+)
+def q34(spark, sf):
+    """Bucketed co-located join: both sides written bucketBy(8, key) so
+    the join (and the following groupBy on the same key) runs with ZERO
+    shuffle — the scale pattern for repeatedly-joined 100 TB fact tables
+    (write-once shuffle amortized across every downstream join).
+    tests/test_plans.py asserts the plan has no Exchange."""
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    ln, on = f"tes_li_b_{tag}", f"tes_or_b_{tag}"
+    base = f"/tmp/tes_bucketed_{tag}"
+    if not spark.catalog.tableExists(ln):
+        spark.sql(f"DROP TABLE IF EXISTS {ln}")
+        (
+            t(spark, sf, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/lineitem")
+            .mode("overwrite")
+            .saveAsTable(ln)
+        )
+    if not spark.catalog.tableExists(on):
+        spark.sql(f"DROP TABLE IF EXISTS {on}")
+        (
+            t(spark, sf, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/orders")
+            .mode("overwrite")
+            .saveAsTable(on)
+        )
+    li = spark.table(ln)
+    o = spark.table(on).filter(F.col("o_orderkey") % 25 == 0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_price_sum"),
+            F.max("o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+@q(
+    "q35_udtf_word_explode",
+    """SELECT doc_id, word, CAST(count(*) AS INT) AS n
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE doc_id % 20 = 0)
+       GROUP BY doc_id, word""",
+)
+def q35(spark, sf):
+    """Python UDTF (Spark >= 3.5): per-document word fan-out with counts
+    — the table-function surface (SURVEY §2-C), lateral-joined in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, n int")
+    class WordCounts:
+        def eval(self, text: str):
+            if not text:
+                return
+            counts: dict[str, int] = {}
+            for w in text.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+            for w, n in counts.items():
+                yield w, n
+
+    spark.udtf.register("tes_word_counts", WordCounts)
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs.createOrReplaceTempView("tes_docs_q35")
+    return spark.sql(
+        "SELECT d.doc_id, w.word, w.n FROM tes_docs_q35 d, "
+        "LATERAL tes_word_counts(d.text) w"
+    )
