@@ -40,8 +40,13 @@ def extract_span(kind: str, text: str | None, media_ref: str | None,
         m = media_lookup.get(media_ref)
         if m is None:
             return None
-        gray = decode_image(m.data, m.width, m.height, m.fmt)
-        table = extract_table(gray)
+        try:
+            gray = decode_image(m.data, m.width, m.height, m.fmt)
+            table = extract_table(gray)
+        except Exception:
+            # corrupt payload — dropped, mirroring the pipeline UDF's
+            # error handling (counted as media_err there)
+            return None
         if not table:
             return None
         return {"kind": "media", "text": table, "media_ref": media_ref}
