@@ -145,3 +145,25 @@ def test_broadcast_media_path_equivalent(spark, tiny_corpus, run_out):
     bc = pipeline.reassemble(spans, c)
     mm = pipeline.compare_golden(_extracted(spark, out), bc)
     assert mm.count() == 0
+
+
+def test_sql_catalog_facade(spark, tiny_corpus, run_out):
+    """catalog.py: logical table names over corpus + outputs, usable from
+    pure SQL (the Iceberg seam)."""
+    from text_extraction_spark import catalog
+
+    out, _ = run_out
+    catalog.register_corpus_tables(spark, tiny_corpus)
+    catalog.register_output_tables(spark, out)
+    n = spark.sql("SELECT count(*) AS n FROM extracted").first()["n"]
+    assert n == spark.sql("SELECT count(*) AS n FROM documents_corpus").first()["n"]
+    committed = spark.sql(
+        "SELECT count(DISTINCT bucket) AS b FROM manifest WHERE status='committed'"
+    ).first()["b"]
+    assert committed == 16
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM extracted e "
+        "JOIN documents_corpus d ON d.doc_id = e.doc_id "
+        "WHERE size(e.spans) <= size(d.spans)"
+    ).first()["n"]
+    assert joined == n

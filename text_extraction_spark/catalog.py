@@ -1,0 +1,60 @@
+"""SQL catalog facade (the Iceberg seam, SURVEY §1.2).
+
+No iceberg-spark-runtime jar exists in this environment, so tables are
+plain parquet + the pipeline's manifest protocol. This module is the
+single place that binds logical table names to storage so a future
+Iceberg catalog drops in here: swap `spark.read.parquet(...)` for
+`spark.table("catalog.db.name")` / `format("iceberg")` and delete
+nothing else.
+
+Usage:
+    register_corpus_tables(spark, corpus_dir)       # documents, media
+    register_output_tables(spark, out_dir)          # extracted, metrics, manifest
+    spark.sql("SELECT doc_id, size(spans) FROM extracted ...").show()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def register_corpus_tables(spark: SparkSession, corpus_dir: str) -> None:
+    spark.read.parquet(os.path.join(corpus_dir, "documents.parquet")).createOrReplaceTempView("documents_corpus")
+    spark.read.parquet(os.path.join(corpus_dir, "media.parquet")).createOrReplaceTempView("media")
+
+
+def register_output_tables(spark: SparkSession, out_dir: str) -> None:
+    spark.read.parquet(os.path.join(out_dir, "extracted")).createOrReplaceTempView("extracted")
+    spark.read.parquet(os.path.join(out_dir, "metrics")).createOrReplaceTempView("metrics")
+    manifest_df(spark, out_dir).createOrReplaceTempView("manifest")
+
+
+def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The commit manifest as a DataFrame (A18 records)."""
+    mdir = os.path.join(out_dir, "manifest")
+    rows = []
+    if os.path.isdir(mdir):
+        for f in sorted(os.listdir(mdir)):
+            if f.endswith(".json"):
+                with open(os.path.join(mdir, f)) as fh:
+                    rows.extend(json.loads(line) for line in fh)
+    return spark.createDataFrame(
+        rows or [],
+        schema="run_id string, bucket int, status string, n_docs long, "
+        "output_path string, committed_at string",
+    )
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """The driver testdata tables as SQL views (the same names the DuckDB
+    oracle uses), enabling pure-SQL use of the whole relational plane."""
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(name)
