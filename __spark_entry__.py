@@ -44,7 +44,9 @@ def _ensure_workers(spark: SparkSession) -> None:
     import zipfile
 
     root = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join("/tmp", "tes_engine_pyfiles.zip")
+    # rebuild once per process — a stale cached zip would ship OLD code
+    # to workers after an engine change
+    zpath = os.path.join("/tmp", f"tes_engine_pyfiles_{os.getpid()}.zip")
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
             pkg = os.path.join(root, "text_extraction_spark")

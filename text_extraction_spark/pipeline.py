@@ -445,6 +445,12 @@ def extract_corpus(
     """Flagship job (SURVEY §3.2): resumable bucketed extraction.
 
     Writes under out_path:
+      spans/run_id=R/*.parquet       span-level extraction + lineage table
+                                     (ONE Python pass; everything below
+                                     derives from this parquet — cheaper
+                                     than caching ~GBs of columnar state,
+                                     and it IS the per-partition lineage
+                                     artifact [B:14])
       extracted/bucket=N/*.parquet   doc-level (doc_id, spans) table
       manifest/commit-*.json         per-bucket commit records
       metrics/*.parquet              per-(run, partition) lineage+metrics
@@ -465,16 +471,19 @@ def extract_corpus(
     committed = read_committed_buckets(spark, out_path)
     if committed:
         corpus = corpus.filter(~F.col("bucket").isin(sorted(committed)))
-    corpus = corpus.persist()
     n_docs = corpus.count()
     if n_docs == 0:
-        corpus.unpersist()
         return {"run_id": run_id, "docs": 0, "buckets_committed": 0, "skipped": len(committed)}
 
     media = load_media(spark, in_path)
-    span_df = extract_spans(
+    # ONE Python pass: materialize the span-level table to parquet, then
+    # metrics and reassembly read the (compressed, column-pruned) parquet
+    # instead of re-running UDFs or decompressing a columnar cache.
+    spans_dir = os.path.join(out_path, "spans", f"run_id={run_id}")
+    extract_spans(
         corpus.select("doc_id", "spans"), media, salt_partitions=salt_partitions
-    ).persist()
+    ).write.mode("overwrite").parquet(spans_dir)
+    span_df = spark.read.parquet(spans_dir)
 
     extracted = reassemble(span_df, corpus).join(
         corpus.select("doc_id", "bucket"), "doc_id"
@@ -523,13 +532,15 @@ def extract_corpus(
         )
         committed_now += 1
 
-    # ---- metrics (A17/A19) — derived from the tapped span DF
+    # ---- metrics (A17/A19) — derived from the span-level lineage table;
+    # small after aggregation, so collect once and reuse for the summary
     metrics = compute_metrics(span_df, run_id)
-    metrics.write.mode("append").parquet(os.path.join(out_path, "metrics"))
+    metric_rows = metrics.collect()
+    spark.createDataFrame(metric_rows, schema=metrics.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(out_path, "metrics"))
 
-    spans_out = span_df.filter(F.col("out_text").isNotNull()).count()
-    span_df.unpersist()
-    corpus.unpersist()
+    spans_out = sum(r["spans_out"] for r in metric_rows)
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
