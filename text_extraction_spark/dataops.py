@@ -67,22 +67,28 @@ _MINHASH_BANDS = 4  # 4 rows per band
 
 @F.pandas_udf(ArrayType(LongType()))
 def minhash_sig_udf(texts: pd.Series) -> pd.Series:
-    """MinHash signatures over word 3-shingles (vectorized numpy).
-    Hash family: (a_i * x + b_i) mod p over a 61-bit Mersenne prime,
-    seeded constants — deterministic across partitions/executors."""
-    p = (1 << 61) - 1
+    """MinHash signatures over word 3-shingles, fully vectorized: hash
+    family (a_i·x + b_i) mod (2^31−1) over crc32 shingle keys — a < 2^31
+    and x < 2^32 keep every product below 2^63, so the whole signature is
+    one int64 matrix op per document (no object-dtype bignum loop).
+    Seeded constants — deterministic across partitions/executors."""
+    import zlib
+
+    p = (1 << 31) - 1
     rng = np.random.Generator(np.random.PCG64(42))
-    a = rng.integers(1, p, _MINHASH_PERMS, dtype=np.int64).astype(object)
-    b = rng.integers(0, p, _MINHASH_PERMS, dtype=np.int64).astype(object)
+    a = rng.integers(1, p, _MINHASH_PERMS, dtype=np.int64)[:, None]
+    b = rng.integers(0, p, _MINHASH_PERMS, dtype=np.int64)[:, None]
     out = []
     for s in texts:
         words = (s or "").split()
         shingles = {" ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))}
-        import zlib
-
-        xs = np.array([zlib.crc32(sh.encode()) for sh in shingles], dtype=object)
-        sig = [int(min((ai * xs + bi) % p)) for ai, bi in zip(a, b)]
-        out.append(sig)
+        xs = np.fromiter(
+            (zlib.crc32(sh.encode()) & 0x7FFFFFFF for sh in shingles),
+            dtype=np.int64,
+            count=len(shingles),
+        )[None, :]
+        sig = ((a * xs + b) % p).min(axis=1)
+        out.append([int(v) for v in sig])
     return pd.Series(out)
 
 
