@@ -95,9 +95,13 @@ def _run_extraction(master: str, corpus: str, tag: str, repeats: int | None = No
         spans = extract_spans(corpus_df, media_df)
         _noop_write(reassemble(spans, corpus_df))
         times.append(time.monotonic() - t0)
-    wall = statistics.median(times)
+    # the host has noisy neighbors (BENCH/BASELINE.md): noise only ever
+    # ADDS time, so min-of-repeats is the least-biased estimate of true
+    # cost; the median is reported alongside for transparency
+    wall = min(times)
     stop_active()
     return {"master": master, "docs": n_docs, "wall_s": round(wall, 3),
+            "wall_s_median": round(statistics.median(times), 3),
             "docs_per_sec": round(n_docs / wall, 1)}
 
 
@@ -111,7 +115,7 @@ def main() -> None:
     # (evidence in BENCH/BASELINE.md), so 8→32 is reported as the
     # secondary, bandwidth-bound pair.
     # the low level is compute-bound and stable — one rep keeps bench wall sane
-    ext_low = _run_extraction(f"local[{LOW_CPUS}]", corpus, f"c{LOW_CPUS}", repeats=1)
+    ext_low = _run_extraction(f"local[{LOW_CPUS}]", corpus, f"c{LOW_CPUS}", repeats=2)
     ext_mid = _run_extraction(f"local[{MID_CPUS}]", corpus, f"c{MID_CPUS}")
     ext_high = _run_extraction(f"local[{CPUS}]", corpus, f"c{CPUS}")
     eff_n_4n = (ext_mid["docs_per_sec"] / ext_low["docs_per_sec"]) / (MID_CPUS / LOW_CPUS)
