@@ -769,3 +769,60 @@ def q35(spark, sf):
         "SELECT d.doc_id, w.word, w.n FROM tes_docs_q35 d, "
         "LATERAL tes_word_counts(d.text) w"
     )
+
+
+@q(
+    "q36_cube",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def q36(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@q(
+    "q37_pivot",
+    """SELECT c_mktsegment, round(p1, 2) AS p1, round(p2, 2) AS p2, round(p3, 2) AS p3
+       FROM (SELECT c_mktsegment, o_orderpriority, o_totalprice
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+       PIVOT (sum(o_totalprice)
+              FOR o_orderpriority IN ('1-URGENT' AS p1, '2-HIGH' AS p2, '3-MEDIUM' AS p3))""",
+)
+def q37(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        base.groupBy("c_mktsegment")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({"1-URGENT": "p1", "2-HIGH": "p2", "3-MEDIUM": "p3"})
+    )
+
+
+@q(
+    "q38_exact_percentiles",
+    """SELECT c_mktsegment,
+              round(CAST(quantile_cont(c_acctbal, 0.25) AS DOUBLE), 4) AS p25,
+              round(CAST(quantile_cont(c_acctbal, 0.50) AS DOUBLE), 4) AS p50,
+              round(CAST(quantile_cont(c_acctbal, 0.90) AS DOUBLE), 4) AS p90
+       FROM customer GROUP BY c_mktsegment""",
+)
+def q38(spark, sf):
+    """Exact interpolated percentiles (Spark `percentile` == SQL
+    quantile_cont/percentile_cont semantics)."""
+    c = t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.90)), 4).alias("p90"),
+    )
