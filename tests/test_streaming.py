@@ -136,3 +136,29 @@ def test_stateful_running_totals_match_batch(spark, replay):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 0.05  # per-batch rounding drift
+
+
+def test_streaming_extraction_matches_golden(spark, tiny_corpus, tmp_path_factory):
+    """Documents replayed as a stream, extracted incrementally via
+    foreachBatch → the union of batch outputs equals the golden oracle
+    exactly (the batch pipeline's equality gate, streaming edition)."""
+    import pyarrow.parquet as pq
+
+    from text_extraction_spark import pipeline
+
+    stream_dir = str(tmp_path_factory.mktemp("docstream"))
+    t = pq.read_table(os.path.join(tiny_corpus, "documents.parquet"))
+    step = max(1, t.num_rows // 5)
+    for i in range(5):
+        chunk = t.slice(i * step, step if i < 4 else t.num_rows - 4 * step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(stream_dir, f"chunk-{i:02d}.parquet"))
+
+    out = str(tmp_path_factory.mktemp("streamout"))
+    res = streaming.extract_corpus_streaming(spark, stream_dir, tiny_corpus, out)
+    assert res["batches"] >= 2  # genuinely incremental
+
+    e = spark.read.option("basePath", res["out_table"]).parquet(res["out_table"])
+    g = spark.read.parquet(os.path.join(tiny_corpus, "golden.parquet"))
+    assert e.count() == g.count()
+    assert pipeline.compare_golden(e.select("doc_id", "spans"), g).count() == 0

@@ -170,3 +170,31 @@ def x06(spark, sf):
         (F.size(F.split(F.split("table_text", "\n").getItem(0), r"\|"))).alias("n_cols"),
         "table_text",
     )
+
+
+@q("x07_streaming_extraction")  # ⊘ rows-only; golden equality in tests
+def x07(spark, sf):
+    """Incremental extraction: corpus documents replayed as a file
+    stream, extracted per micro-batch via foreachBatch with idempotent
+    per-batch output dirs (streaming edition of the A18 protocol).
+    Golden equality asserted in tests/test_streaming.py."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .streaming import extract_corpus_streaming
+
+    cdir = corpus_dir()
+    stream_dir = tempfile.mkdtemp(prefix="tes_docstream_")
+    t_ = pq.read_table(os.path.join(cdir, "documents.parquet"))
+    step = max(1, t_.num_rows // 4)
+    for i in range(4):
+        chunk = t_.slice(i * step, step if i < 3 else t_.num_rows - 3 * step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(stream_dir, f"chunk-{i:02d}.parquet"))
+    out = tempfile.mkdtemp(prefix="tes_streamout_")
+    res = extract_corpus_streaming(spark, stream_dir, cdir, out)
+    e = spark.read.option("basePath", res["out_table"]).parquet(res["out_table"])
+    from pyspark.sql import functions as F
+
+    return e.select("doc_id", F.size("spans").alias("n_spans"))

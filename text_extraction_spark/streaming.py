@@ -159,3 +159,50 @@ def windowed_counts_available_now(spark: SparkSession, sf_dir: str) -> DataFrame
 
     replay = make_replay_dir(sf_dir, tempfile.mkdtemp(prefix="events_replay_"))
     return run_available_now(windowed_counts(read_events_stream(spark, replay)), spark)
+
+
+def extract_corpus_streaming(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    corpus_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 2,
+) -> dict:
+    """Incremental extraction: documents arriving as a file stream are
+    run through the SAME extraction pipeline (extract_spans + reassemble)
+    per micro-batch via foreachBatch, Trigger.AvailableNow.
+
+    Semantics: the checkpoint gives at-least-once batch replay; per-batch
+    output lands in extracted_stream/batch_id=N so a replayed batch
+    OVERWRITES its own directory (idempotent), mirroring the A18 bucket
+    protocol. The media store is static (the common shape: media blobs
+    land first, document records reference them)."""
+    import os
+
+    from .pipeline import extract_spans, load_media, reassemble
+
+    media = load_media(spark, corpus_dir)
+    schema = spark.read.parquet(docs_stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_stream_dir)
+    )
+    out_table = os.path.join(out_dir, "extracted_stream")
+    n_batches = {"n": 0}
+
+    def process(batch_df, batch_id: int) -> None:
+        result = reassemble(extract_spans(batch_df, media), batch_df)
+        result.write.mode("overwrite").parquet(
+            os.path.join(out_table, f"batch_id={batch_id}")
+        )
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"batches": n_batches["n"], "out_table": out_table}
