@@ -56,3 +56,23 @@ def test_match_slots_matches_match_glyph():
     rng = np.random.Generator(np.random.PCG64(7))
     slots = (rng.random((20, 7, 5)) < 0.3).astype(np.uint8)
     assert font.match_slots(slots) == [font.match_glyph(s) for s in slots]
+
+
+def test_vectorized_table_decode_equals_per_cell():
+    """extract_table's one-pass gather+matmul decode must be bit-identical
+    to the per-cell decode_cell path (same distances, same tie-breaks)."""
+    from text_extraction_spark import corpus
+    from text_extraction_spark.engine import imageproc, ocr
+
+    for i in range(60):
+        m = corpus.gen_media(f"veq-{i}")
+        gray = imageproc.decode_image(m.data, m.width, m.height, m.fmt)
+        mask = imageproc.denoise(imageproc.adaptive_threshold(gray))
+        rows, cols = imageproc.detect_rulings(mask)
+        cells = imageproc.reconstruct_grid(rows, cols)
+        n_cols = len(cols) - 1
+        texts = [ocr.decode_cell(mask, y0, x0, y1, x1) for (_, _, y0, x0, y1, x1) in cells]
+        per_cell = "\n".join(
+            "|".join(texts[r * n_cols : (r + 1) * n_cols]) for r in range(len(rows) - 1)
+        )
+        assert ocr.extract_table(gray) == per_cell
