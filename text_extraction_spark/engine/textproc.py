@@ -35,46 +35,51 @@ class Block:
         return len(self.text)
 
 
-def _flush(buf: list[tuple[str, bool]], out: list[Block]) -> None:
-    if not buf:
-        return
-    words = [w for w, _ in buf]
-    out.append(
-        Block(
-            text=" ".join(words),
-            words=len(words),
-            link_words=sum(1 for _, in_link in buf if in_link),
-        )
-    )
-    buf.clear()
-
-
 def tokenize(html: str) -> list[Block]:
     """Single pass over the pseudo-HTML: split into blocks at block-level
     tags / blank lines, counting words and link words. Empty blocks are
-    dropped. Deterministic, pure string processing."""
+    dropped. Deterministic, pure string processing. Link accounting is
+    chunk-level (the link depth is constant between two tags), so no
+    per-word state is kept."""
     # Normalize blank-line paragraph breaks to an explicit break tag so
     # the scan below has a single boundary mechanism.
-    html = _BLANKLINE.sub("<br>", html)
+    if "\n" in html:
+        html = _BLANKLINE.sub("<br>", html)
     blocks: list[Block] = []
-    buf: list[tuple[str, bool]] = []
+    words: list[str] = []
+    link_words = 0
     link_depth = 0
     pos = 0
+
+    def flush() -> None:
+        nonlocal link_words
+        if words:
+            blocks.append(Block(" ".join(words), len(words), link_words))
+            words.clear()
+            link_words = 0
+
     for m in _TAG.finditer(html):
-        _consume_words(html[pos : m.start()], link_depth, buf)
+        chunk = html[pos : m.start()]
+        if chunk:
+            toks = chunk.split()
+            if toks:
+                words.extend(toks)
+                if link_depth > 0:
+                    link_words += len(toks)
         tag = m.group(0)[1:-1].strip().lower()
         closing = tag.startswith("/")
         name = tag.lstrip("/").split()[0].rstrip("/") if tag.lstrip("/") else ""
         if name == "a":
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1
         elif name in _BLOCK_TAGS:
-            _flush(buf, blocks)
+            flush()
         pos = m.end()
-    _consume_words(html[pos:], link_depth, buf)
-    _flush(buf, blocks)
+    tail = html[pos:]
+    if tail:
+        toks = tail.split()
+        if toks:
+            words.extend(toks)
+            if link_depth > 0:
+                link_words += len(toks)
+    flush()
     return blocks
-
-
-def _consume_words(chunk: str, link_depth: int, buf: list[tuple[str, bool]]) -> None:
-    for w in chunk.split():
-        buf.append((w, link_depth > 0))
