@@ -11,26 +11,34 @@ Physical design (SURVEY §3.2 / §4):
                       media paths are SEPARATE projections so the media
                       plan never drags `text` through Arrow and vice
                       versa (column pruning, SURVEY §4).
-  shuffle #1 (A4)     explicit salted repartition BEFORE the Python
-                      stage: span-level key xxhash64(doc_id, offset)
-                      dissolves media-heavy-document skew (all spans of a
-                      heavy doc scatter uniformly); AQE cannot do this
-                      because Python-UDF cost is opaque to it.
-  Stage 3 (UDFs)      one chained Arrow pandas UDF per path — each span
+  shuffle #1 (A4)     TEXT path: explicit salted repartition BEFORE the
+                      Python stage — span-level key xxhash64(doc_id,
+                      offset) dissolves media-heavy-document skew; AQE
+                      cannot do this because Python-UDF cost is opaque
+                      to it (and the repartition is REPARTITION_BY_NUM,
+                      exempt from AQE coalescing).
+  Stage 3 (UDFs)      one fused Arrow pandas UDF per path — each span
                       crosses the JVM⇄Python boundary exactly once
-                      (A5+A6 fused for text, A7–A14 fused for media,
-                      iterator form to amortize setup).
-  Stage 4 (metrics)   mapInPandas tap (A17): pulls batches through the
-                      upstream UDF, timing each pull — per-partition
-                      lineage rows derive from these columns.
-  shuffle #2 (A15)    window row_number over (doc_id, offset) → dense
-                      `order`, then groupBy(doc_id) reuses the same hash
-                      partitioning (no third shuffle) to collect the
-                      span array; left join back to the full doc list so
-                      fully-dropped documents keep an empty spans array.
+                      (A5+A6 for text; A7–A14 for media, which runs AT
+                      SCAN PARTITIONING so image bytes never shuffle —
+                      only (media_ref, extracted text) joins to spans).
+                      A17 timing rides inside the UDF return struct;
+                      partition ids are stamped JVM-side in the same
+                      stage (even=text / odd=media).
+  Stage 4 (stage-out) the span-level extraction+lineage table is written
+                      once to spans/run_id=R/ parquet; metrics and
+                      reassembly derive from it (cheaper than caching
+                      columnar state, and it IS the lineage artifact).
+  shuffle #2 (A15)    ONE groupBy(doc_id) (AQE-exempt repartition reused
+                      by the aggregation): sort_array orders the struct
+                      array by offset and an indexed transform assigns
+                      the dense `order` — no window sort-exchange; left
+                      join back to the doc list keeps fully-dropped
+                      documents with an empty spans array.
   Stage 5 (A19/A18)   write extracted partitioned by bucket to a staging
-                      dir, atomically rename each bucket dir into the
-                      final table, append one manifest row per bucket
+                      dir (repartitioned by bucket → one file each),
+                      atomically rename each bucket dir into the final
+                      table, append one manifest row per bucket
                       (exactly-once resume without an Iceberg jar), then
                       append per-partition metrics.
 
