@@ -162,3 +162,30 @@ def test_streaming_extraction_matches_golden(spark, tiny_corpus, tmp_path_factor
     g = spark.read.parquet(os.path.join(tiny_corpus, "golden.parquet"))
     assert e.count() == g.count()
     assert pipeline.compare_golden(e.select("doc_id", "spans"), g).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, replay):
+    """Watermarked stream-stream join == the equivalent batch range join
+    for pairs whose state was retained (watermark bounds may withhold
+    tail rows; every emitted pair must be a batch pair and coverage must
+    be substantial)."""
+    result = streaming.run_available_now(
+        streaming.stream_stream_join(spark, replay), spark
+    )
+    e = spark.read.parquet(replay).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("su"), F.col("ts").alias("s_ts")
+    )
+    batch = p.join(
+        s,
+        (p.pu == s.su)
+        & (s.s_ts <= p.p_ts)
+        & (s.s_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "signup_id")
+    got = {(r["purchase_id"], r["signup_id"]) for r in result.collect()}
+    want = {(r["purchase_id"], r["signup_id"]) for r in batch.collect()}
+    assert got <= want
+    assert len(got) >= 0.8 * len(want)  # only the watermark tail may be withheld

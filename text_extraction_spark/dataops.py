@@ -499,3 +499,24 @@ def d12(spark, sf):
     return j.select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")).filter(
         F.col("cosine") >= 0.30
     )
+
+
+@q("d13_neardup_minhash_verified")  # ⊘ rows-only (candidates from d02)
+def d13(spark, sf):
+    """The full two-stage near-dup pipeline: MinHash+LSH candidate pairs
+    (d02) verified with exact word-set Jaccard, keeping pairs >= 0.5.
+    This is the production shape at 100 TB: the quadratic step only ever
+    touches LSH-bucket collisions; the exact verify is JVM-side."""
+    pairs = d02(spark, sf)
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
+    )

@@ -206,3 +206,35 @@ def extract_corpus_streaming(
     )
     q.awaitTermination()
     return {"batches": n_batches["n"], "out_table": out_table}
+
+
+def stream_stream_join(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarked state: purchases joined
+    to the same user's signups within 1 hour before the purchase. Both
+    sides are streaming; watermarks bound the join state retention."""
+    purchases = (
+        read_events_stream(spark, replay_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    signups = (
+        read_events_stream(spark, replay_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "30 minutes")
+    )
+    return purchases.join(
+        signups,
+        F.expr(
+            "p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+    ).select("purchase_id", "signup_id", "p_ts", "s_ts")
