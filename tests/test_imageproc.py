@@ -144,3 +144,27 @@ def test_png_decoder_all_filter_types():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_image(png, w, img.shape[0], "png"), img)
+
+
+def test_hough_detector_equivalent_on_tables():
+    """Hough-accumulator ruling detection == projection profiles for
+    axis-aligned fixture tables (the default path)."""
+    from text_extraction_spark import corpus
+
+    for i in range(8):
+        m = corpus.gen_media(f"hough-{i}")
+        gray = imageproc.decode_image(m.data, m.width, m.height, m.fmt)
+        mask = imageproc.denoise(imageproc.adaptive_threshold(gray))
+        assert imageproc.detect_rulings_hough(mask) == imageproc.detect_rulings(mask)
+
+
+def test_hough_accumulator_finds_diagonal_line():
+    """The Hough variant sees what projection profiles cannot: a skewed
+    line accumulates its full vote count at its (theta, rho)."""
+    mask = np.zeros((60, 60), dtype=np.uint8)
+    for i in range(60):
+        mask[i, i] = 1  # 45-degree line
+    acc, thetas, rhos = imageproc.hough_accumulator(mask)
+    ti, ri = np.unravel_index(np.argmax(acc), acc.shape)
+    assert acc[ti, ri] >= 55  # nearly all 60 points vote together
+    assert abs(np.degrees(thetas[ti]) - 135.0) <= 2.0  # x cosT + y sinT = rho

@@ -213,3 +213,51 @@ def reconstruct_grid(
                 (r, c, rows[r] + 1, cols[c] + 1, rows[r + 1], cols[c + 1])
             )
     return cells
+
+
+def hough_accumulator(
+    mask: np.ndarray, n_theta: int = 180, rho_res: int = 1
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """A10 (alternative): Duda & Hart 1972 Hough accumulator for line
+    detection, pure numpy. Returns (acc[theta_idx, rho_idx], thetas,
+    rhos). The projection-profile detector is the default (exact for
+    axis-aligned rulings); this variant exists for skewed scans and is
+    vote-count deterministic (integer accumulator, fixed binning)."""
+    h, w = mask.shape
+    ys, xs = np.nonzero(mask)
+    thetas = np.linspace(0.0, np.pi, n_theta, endpoint=False)
+    diag = int(np.ceil(np.hypot(h, w)))
+    n_rho = 2 * diag // rho_res + 1
+    acc = np.zeros((n_theta, n_rho), dtype=np.int32)
+    cos_t, sin_t = np.cos(thetas), np.sin(thetas)
+    for ti in range(n_theta):
+        rho = xs * cos_t[ti] + ys * sin_t[ti]
+        bins = np.floor((rho + diag) / rho_res + 0.5).astype(np.int64)
+        acc[ti] += np.bincount(bins, minlength=n_rho).astype(np.int32)
+    rhos = np.arange(n_rho) * rho_res - diag
+    return acc, thetas, rhos
+
+
+def detect_rulings_hough(mask: np.ndarray) -> tuple[list[int], list[int]]:
+    """Ruling positions via the Hough accumulator: peaks at theta=90deg
+    (horizontal lines, rho=y) and theta=0 (vertical lines, rho=x) with
+    the same >= 85% vote threshold as the projection profiles. For
+    axis-aligned tables this is exactly equivalent to detect_rulings
+    (asserted in tests); kept for skewed inputs."""
+    h, w = mask.shape
+    acc, thetas, rhos = hough_accumulator(mask, n_theta=180)
+    v_idx = 0  # theta = 0 → vertical lines (rho = x)
+    h_idx = 90  # theta = pi/2 → horizontal lines (rho = y)
+    cols_votes = np.zeros(w, dtype=np.int64)
+    rows_votes = np.zeros(h, dtype=np.int64)
+    for rho_i, votes in enumerate(acc[v_idx]):
+        x = int(rhos[rho_i])
+        if 0 <= x < w:
+            cols_votes[x] += int(votes)
+    for rho_i, votes in enumerate(acc[h_idx]):
+        y = int(rhos[rho_i])
+        if 0 <= y < h:
+            rows_votes[y] += int(votes)
+    rows = _ruling_positions(rows_votes, w)
+    cols = _ruling_positions(cols_votes, h)
+    return rows, cols

@@ -826,3 +826,18 @@ def q38(spark, sf):
         F.round(F.percentile("c_acctbal", F.lit(0.50)), 4).alias("p50"),
         F.round(F.percentile("c_acctbal", F.lit(0.90)), 4).alias("p90"),
     )
+
+
+@q("q39_stream_stream_join")  # ⊘ rows-only: streaming semantics
+def q39(spark, sf):
+    """Watermarked stream-stream join (purchases ⋈ signups within 1 hour,
+    both sides streaming); batch-equivalence asserted in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from . import streaming
+
+    replay = streaming.make_replay_dir(sf, tempfile.mkdtemp(prefix="events_ssj_"))
+    return streaming.run_available_now(
+        streaming.stream_stream_join(spark, replay), spark
+    )
