@@ -167,3 +167,36 @@ def test_sql_catalog_facade(spark, tiny_corpus, run_out):
         "WHERE size(e.spans) <= size(d.spans)"
     ).first()["n"]
     assert joined == n
+
+
+def test_sql_extraction_functions(spark, tiny_corpus):
+    """Extraction UDFs callable from pure SQL match the library path."""
+    from text_extraction_spark import catalog
+
+    catalog.register_extraction_functions(spark)
+    catalog.register_corpus_tables(spark, tiny_corpus)
+    row = spark.sql(
+        "SELECT media_ref, tes_extract_table(width, height, fmt, data) AS txt "
+        "FROM media ORDER BY media_ref LIMIT 1"
+    ).first()
+    from text_extraction_spark.engine.imageproc import decode_image
+    from text_extraction_spark.engine.ocr import extract_table
+    import pyarrow.parquet as pq
+    import os
+
+    m = (
+        pq.read_table(os.path.join(tiny_corpus, "media.parquet"))
+        .to_pylist()
+    )
+    rec = min(m, key=lambda r: r["media_ref"])
+    expected = extract_table(
+        decode_image(rec["data"], rec["width"], rec["height"], rec["fmt"])
+    )
+    assert row["txt"] == expected
+
+    kept = spark.sql(
+        "SELECT count(*) AS n FROM ("
+        "  SELECT explode(spans) AS s FROM documents_corpus"
+        ") WHERE s.kind = 'text' AND tes_extract_main(s.text) IS NOT NULL"
+    ).first()["n"]
+    assert kept > 0

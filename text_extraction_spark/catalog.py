@@ -58,3 +58,15 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).createOrReplaceTempView(name)
+
+
+def register_extraction_functions(spark: SparkSession) -> None:
+    """Expose the extraction UDFs to SQL users:
+        SELECT tes_extract_main(text)            -- A5+A6+A14 text path
+        SELECT tes_extract_table(w, h, fmt, data) -- A7–A13 media path
+    The same fused Arrow UDFs the pipeline uses — one registration, any
+    SQL surface (spark.sql, thrift, notebooks)."""
+    from .pipeline import extract_media_udf, extract_text_udf
+
+    spark.udf.register("tes_extract_main", extract_text_udf)
+    spark.udf.register("tes_extract_table", extract_media_udf)
