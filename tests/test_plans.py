@@ -119,3 +119,11 @@ def test_udtf_lateral_join_runs(spark):
     df = relational.QUERIES["q35_udtf_word_explode"](spark, SF)
     assert df.count() > 0
     assert df.columns == ["doc_id", "word", "n"]
+
+
+def test_binned_range_join_avoids_nested_loop(spark):
+    """q40: the bin-explode turns a pure range predicate into an equi
+    join — no BroadcastNestedLoopJoin (O(n·m)) anywhere in the plan."""
+    plan = _plan(relational.QUERIES["q40_binned_range_join"](spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))

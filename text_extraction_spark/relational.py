@@ -841,3 +841,50 @@ def q39(spark, sf):
     return streaming.run_available_now(
         streaming.stream_stream_join(spark, replay), spark
     )
+
+
+@q(
+    "q40_binned_range_join",
+    """SELECT e1.event_id AS id_a, e2.event_id AS id_b,
+              round(abs(e1.value - e2.value), 4) AS dv
+       FROM events e1 JOIN events e2
+         ON e1.event_type = 'error' AND e2.event_id > e1.event_id
+        AND abs(e1.value - e2.value) <= 0.05""",
+)
+def q40(spark, sf):
+    """PURE range join (no natural equi key): |value_a − value_b| ≤ ε.
+    Naively this is a BroadcastNestedLoopJoin — O(n·m) at scale. The
+    binned form makes it an EQUI join: bucket = floor(value/ε), each left
+    row explodes into {b−1, b, b+1}, join on bucket, filter the exact
+    predicate. Work scales with bucket occupancy, not n·m; the plan is a
+    hash/sort-merge join (asserted in tests)."""
+    eps = 0.05
+    e = t(spark, sf, "events").select("event_id", "event_type", "value")
+    left = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("value").alias("va"),
+            F.explode(
+                F.array(
+                    (F.floor(F.col("value") / eps) - 1).cast("long"),
+                    F.floor(F.col("value") / eps).cast("long"),
+                    (F.floor(F.col("value") / eps) + 1).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    right = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("value").alias("vb"),
+        F.floor(F.col("value") / eps).cast("long").alias("bucket"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("id_b") > F.col("id_a"))
+            & (F.abs(F.col("va") - F.col("vb")) <= eps)
+        )
+        .select("id_a", "id_b", F.round(F.abs(F.col("va") - F.col("vb")), 4).alias("dv"))
+        .distinct()
+    )
