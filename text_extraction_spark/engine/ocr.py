@@ -86,11 +86,13 @@ def extract_table(gray: np.ndarray) -> str:
         flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.int32)
         t = font._FLAT.astype(np.int32)  # (T,35)
         d = flat.sum(axis=1)[:, None] + t.sum(axis=1)[None, :] - 2 * (flat @ t.T)
-        idx = np.argmin(d, axis=1).reshape(n_rows, n_cols, k)
+        idx = np.argmin(d, axis=1).reshape(n_rows * n_cols, k)
+        # byte LUT: template index → ASCII char, NUL for blank, stripped
+        lut = np.frombuffer(b"\x00" + font.ALPHABET.encode("ascii"), dtype=np.uint8)
+        cell_bytes = lut[idx]  # (cells, k) uint8
         texts = [
-            "".join("" if i == 0 else font.ALPHABET[i - 1] for i in idx[r, c])
-            for r in range(n_rows)
-            for c in range(n_cols)
+            cell_bytes[i].tobytes().replace(b"\x00", b"").decode("ascii")
+            for i in range(n_rows * n_cols)
         ]
     lines = [
         "|".join(texts[r * n_cols : (r + 1) * n_cols]) for r in range(n_rows)
