@@ -41,14 +41,18 @@ def _ensure_workers(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_tes_pyfiles_added", False):
         return
+    import tempfile
     import zipfile
 
     root = os.path.dirname(os.path.abspath(__file__))
-    # rebuild once per process — a stale cached zip would ship OLD code
-    # to workers after an engine change
-    zpath = os.path.join("/tmp", f"tes_engine_pyfiles_{os.getpid()}.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+    # Fresh unpredictable-name zip per process (mkstemp: O_EXCL, 0600) —
+    # never a fixed world-guessable /tmp path another local user could
+    # pre-create and have executed on every Python worker; rebuilt per
+    # process so a stale zip can't ship OLD code after an engine change.
+    zpath = getattr(sc, "_tes_pyfiles_zip", None)
+    if zpath is None or not os.path.exists(zpath):
+        fd, zpath = tempfile.mkstemp(prefix="tes_engine_pyfiles_", suffix=".zip")
+        with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w", zipfile.ZIP_DEFLATED) as z:
             pkg = os.path.join(root, "text_extraction_spark")
             for dirpath, _dirs, files in os.walk(pkg):
                 if "__pycache__" in dirpath:
@@ -57,6 +61,7 @@ def _ensure_workers(spark: SparkSession) -> None:
                     if f.endswith(".py"):
                         p = os.path.join(dirpath, f)
                         z.write(p, os.path.relpath(p, root))
+        sc._tes_pyfiles_zip = zpath
     sc.addPyFile(zpath)
     sc._tes_pyfiles_added = True
 
@@ -117,4 +122,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLES)
     out.update(extraction_queries.ORACLES)
     out.update(dataops.ORACLES)
+    # lazily-built oracle: embeds the generated corpus path (x08 — PDF
+    # extraction checked against generation-time truth)
+    out["x08_pdf_text_extraction"] = extraction_queries.pdf_oracle_sql()
     return out

@@ -52,8 +52,11 @@ HEADLINE = [
 
 
 def _bench_corpus() -> str:
-    """Pre-generate (cached, untimed) the interleaved bench corpus."""
-    d = f"/tmp/tes_bench_corpus_{BENCH_DOCS}"
+    """Pre-generate (cached, untimed) the interleaved bench corpus under
+    the ownership-verified per-user cache dir (conf.cache_root)."""
+    from text_extraction_spark.conf import cache_root
+
+    d = os.path.join(cache_root(), f"bench_corpus_v3_{BENCH_DOCS}")
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         from text_extraction_spark.corpus import write_corpus_parquet

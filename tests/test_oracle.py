@@ -27,15 +27,23 @@ def test_corpus_is_deterministic():
 def test_doc_shape_invariants():
     docs, media = corpus.gen_corpus(50)
     refs = {m.media_ref for m in media}
+    dup_offsets = 0
+    sparse_docs = 0
     for d in docs:
         offsets = [s["offset"] for s in d.spans]
-        assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
-        assert any(b - a > 1 for a, b in zip(offsets, offsets[1:])) or len(offsets) <= 1
+        assert offsets == sorted(offsets)
+        dup_offsets += len(offsets) - len(set(offsets))
+        sparse_docs += any(b - a > 1 for a, b in zip(offsets, offsets[1:]))
         for s in d.spans:
             if s["kind"] == "text":
                 assert s["text"] is not None and s["media_ref"] is None
             else:
                 assert s["text"] is None and s["media_ref"] in refs
+    # input_hint doesn't promise unique offsets — the generator must
+    # produce SOME duplicates so the order tie-break is a tested path —
+    # while most docs keep sparse (gap > 1) offsets (SURVEY §7 hazard 2)
+    assert dup_offsets > 0
+    assert sparse_docs >= len(docs) // 2
 
 
 def test_media_heavy_docs_exist():
@@ -55,8 +63,14 @@ def test_media_extraction_accuracy():
     deterministic (same result on re-run) — the oracle, not perfection,
     defines golden truth."""
     bad = []
-    for i in range(N_ACC):
+    n_img = 0
+    i = -1
+    while n_img < N_ACC:
+        i += 1
         m = corpus.gen_media(f"acc-{i}")
+        if m.fmt == "pdf":  # A20 media are lossless-parsed, tested in test_pdf
+            continue
+        n_img += 1
         got = extract_table(decode_image(m.data, m.width, m.height, m.fmt))
         if got != m.expected_text:
             bad.append((m.media_ref, got))
@@ -67,7 +81,11 @@ def test_media_extraction_accuracy():
 
 
 def test_png_and_raw_fmt_agree():
+    i = 0
     m = corpus.gen_media("fmt-check-1")
+    while m.fmt == "pdf":
+        i += 1
+        m = corpus.gen_media(f"fmt-check-{i + 1}")
     gray = decode_image(m.data, m.width, m.height, m.fmt)
     from text_extraction_spark.engine.imageproc import encode_png_gray8
 

@@ -1,0 +1,149 @@
+"""A20 PDF/layout-parse tests (round 2): writer↔reader roundtrips across
+the whole operator surface, escape/hex handling, corruption drops, and
+the distributed UDF path vs generation-time truth."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from text_extraction_spark import corpus
+from text_extraction_spark.engine.pdfproc import (
+    WORD_GAP_MILLI,
+    encode_pdf,
+    extract_pdf_text,
+)
+
+PAGES = [
+    ["hello world this is line one", "second line here", "third (line) with \\ specials"],
+    ["page two first", "page two second"],
+]
+WANT = "\n".join("\n".join(p) for p in PAGES)
+
+
+@pytest.mark.parametrize(
+    "variant,compress,split",
+    list(itertools.product(("td", "tstar", "tm", "tj_kerned", "quote"),
+                           (True, False), (False, True))),
+)
+def test_roundtrip_all_operator_variants(variant, compress, split):
+    pdf = encode_pdf(PAGES, compress=compress, variant=variant, split_content=split)
+    assert extract_pdf_text(pdf) == WANT
+
+
+def test_randomized_roundtrip():
+    rng = np.random.default_rng(0)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    variants = ("td", "tstar", "tm", "tj_kerned", "quote")
+    for trial in range(80):
+        pp = [
+            [
+                " ".join(words[int(i)] for i in rng.integers(0, len(words), int(rng.integers(1, 6))))
+                for _ in range(int(rng.integers(1, 5)))
+            ]
+            for _ in range(int(rng.integers(1, 3)))
+        ]
+        pdf = encode_pdf(
+            pp,
+            compress=bool(rng.integers(0, 2)),
+            variant=variants[int(rng.integers(0, 5))],
+            split_content=bool(rng.integers(0, 2)),
+        )
+        assert extract_pdf_text(pdf) == "\n".join("\n".join(p) for p in pp), trial
+
+
+def _hand_pdf(raw: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        + b"2 0 obj\n<< /Length " + str(len(raw)).encode() + b" >>\nstream\n"
+        + raw + b"\nendstream\nendobj\n"
+    )
+
+
+def test_hex_octal_and_escape_strings():
+    raw = (b"BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj "
+           b"0 -14 TD (\\101\\102\\103) Tj "
+           b"0 -14 TD (par\\(en\\)s \\\\slash \\t tab) Tj ET")
+    assert extract_pdf_text(_hand_pdf(raw)) == "Hello\nABC\npar(en)s \\slash \t tab"
+
+
+def test_tj_kerning_space_inference():
+    """Adjustments at or past WORD_GAP_MILLI become spaces; smaller
+    intra-word kerns must NOT."""
+    raw = (b"BT /F1 12 Tf 72 720 Td "
+           b"[(Hel) -20 (lo) " + str(WORD_GAP_MILLI).encode() + b" (world)] TJ ET")
+    assert extract_pdf_text(_hand_pdf(raw)) == "Hello world"
+
+
+def test_binary_stream_ending_in_newline_byte():
+    """/Length is authoritative: a Flate stream whose last byte is \\n or
+    \\r must not lose it to the EOL-before-endstream heuristic (every
+    ~1/128 compressed streams end that way)."""
+    rng = np.random.default_rng(1)
+    words = ["w%d" % i for i in range(40)]
+    hit = 0
+    for trial in range(60):
+        pp = [[" ".join(words[int(i)] for i in rng.integers(0, 40, 8)) for _ in range(4)]]
+        pdf = encode_pdf(pp, compress=True, variant="td")
+        assert extract_pdf_text(pdf) == "\n".join(pp[0])
+        hit += 1
+    assert hit == 60
+
+
+def test_corrupt_and_empty_pdfs_drop():
+    from text_extraction_spark.pipeline import _extract_one_media
+    from text_extraction_spark.reference_impl import extract_span
+
+    good = encode_pdf([["some text"]])
+    corrupt = good[: len(good) // 2] + b"\xff\x00garbage" * 20
+    truncated_flate = good.replace(b"stream\n", b"stream\n\x00\x01", 1)
+
+    assert _extract_one_media(612, 792, "pdf", good) == "some text"
+    for bad in (corrupt, truncated_flate, b"%PDF-1.4\nnothing here"):
+        out = _extract_one_media(612, 792, "pdf", bad)
+        assert out is None or isinstance(out, str)  # never raises
+
+    class M:
+        fmt, data, width, height = "pdf", b"not a pdf at all", 612, 792
+
+    assert extract_span("media", None, "x", {"x": M()}) is None
+
+
+def test_corpus_pdf_fraction_and_golden_truth():
+    """The generator emits PDFs at ~PDF_FRACTION, every one re-extracts
+    EXACTLY to its generation-time expected text (PDF parse is lossless
+    — this is what licenses the x08 value oracle)."""
+    docs, media = corpus.gen_corpus(120)
+    pdfs = [m for m in media if m.fmt == "pdf"]
+    frac = len(pdfs) / max(len(media), 1)
+    assert 0.15 < frac < 0.35, frac
+    assert len(pdfs) >= 20
+    for m in pdfs:
+        assert extract_pdf_text(m.data) == m.expected_text
+        assert m.expected_text.strip()
+
+
+def test_pdf_udf_matches_expected_on_spark(spark, tiny_corpus):
+    """Distributed A20: the fused media UDF over fmt='pdf' rows equals
+    pdf_expected.parquet row-for-row (the x08 oracle, run in-process)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_extraction_spark.pipeline import extract_media_udf
+
+    m = spark.read.parquet(os.path.join(tiny_corpus, "media.parquet")).filter(
+        F.col("fmt") == "pdf"
+    )
+    got = m.select(
+        "media_ref", extract_media_udf("width", "height", "fmt", "data").alias("t")
+    )
+    exp = spark.read.parquet(os.path.join(tiny_corpus, "pdf_expected.parquet"))
+    joined = got.join(exp, "media_ref", "full_outer")
+    n = joined.count()
+    assert n > 0
+    mismatches = joined.filter(
+        F.col("t").isNull() | F.col("expected_text").isNull()
+        | (F.col("t") != F.col("expected_text"))
+    ).count()
+    assert mismatches == 0

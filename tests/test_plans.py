@@ -127,3 +127,8 @@ def test_binned_range_join_avoids_nested_loop(spark):
     plan = _plan(relational.QUERIES["q40_binned_range_join"](spark, SF))
     assert "BroadcastNestedLoop" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    # each qualifying pair matches exactly once (right side carries ONE
+    # bucket per row), so there must be NO post-join dedup aggregate —
+    # the round-1 trailing distinct() was a redundant full shuffle
+    post_join = plan.split("Join", 1)[0]  # text ABOVE the topmost join
+    assert "HashAggregate" not in post_join and "Exchange" not in post_join

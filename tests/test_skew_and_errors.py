@@ -124,8 +124,9 @@ def test_monster_doc_spans_spread_across_partitions(spark, skew_corpus):
     skew."""
     prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     # the whole fixture store is ~1.5 MB — shrink splits so the tiny file
-    # exhibits the same multi-split scan a real 100 TB store has
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    # exhibits the same multi-split scan a real 100 TB store has (16 KB:
+    # small enough that even runs of tiny PDF media rows split apart)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
     try:
         c = pipeline.load_corpus(spark, skew_corpus)
         m = pipeline.load_media(spark, skew_corpus)

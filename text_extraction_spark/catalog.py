@@ -33,14 +33,20 @@ def register_output_tables(spark: SparkSession, out_dir: str) -> None:
 
 
 def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The commit manifest as a DataFrame (A18 records)."""
+    """The commit manifest as a DataFrame (A18 records) — read through
+    the Hadoop FS seam so file:/hdfs:/s3a: tables all resolve."""
+    from .fsio import FS
+
+    fs = FS(spark, out_dir)
     mdir = os.path.join(out_dir, "manifest")
     rows = []
-    if os.path.isdir(mdir):
-        for f in sorted(os.listdir(mdir)):
-            if f.endswith(".json"):
-                with open(os.path.join(mdir, f)) as fh:
-                    rows.extend(json.loads(line) for line in fh)
+    for f in fs.listdir(mdir):
+        if f.endswith(".json"):
+            rows.extend(
+                json.loads(line)
+                for line in fs.read_text(os.path.join(mdir, f)).splitlines()
+                if line.strip()
+            )
     return spark.createDataFrame(
         rows or [],
         schema="run_id string, bucket int, status string, n_docs long, "

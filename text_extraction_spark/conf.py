@@ -68,8 +68,52 @@ def get_spark(
     return b.getOrCreate()
 
 
+def cache_root() -> str:
+    """Per-user cache dir for generated fixtures / bucketed tables / the
+    worker py-files zip. NOT a bare predictable /tmp path: the dir is
+    uid-suffixed, created 0700, and ownership + group/other-write bits
+    are verified on every use — a pre-created dir or file planted by
+    another local user fails loudly instead of being executed/served."""
+    import stat
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"tes_cache_{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+        raise RuntimeError(
+            f"refusing unsafe cache dir {d}: uid={st.st_uid} mode={oct(st.st_mode)}"
+        )
+    return d
+
+
+def _reset_udf_judf_caches() -> None:
+    """pyspark caches each UserDefinedFunction's JVM handle forever
+    (`_judf_placeholder`), and that handle embeds the *creating*
+    SparkContext's Python-metrics accumulator. Module-level UDFs reused
+    after a session stop/start therefore ship a stale accumulator id —
+    every task completion then logs a DAGScheduler.updateAccumulators
+    stack trace (benign but alarming; seen in BENCH_r01.json). Clearing
+    the placeholders on stop makes the next use re-wrap against the live
+    context."""
+    import sys
+
+    for mod_name, mod in list(sys.modules.items()):
+        if not mod_name.startswith("text_extraction_spark"):
+            continue
+        for obj in vars(mod).values():
+            # F.pandas_udf returns a wrapper carrying `_unwrapped` → the
+            # real UserDefinedFunction; plain UDF objects carry the
+            # placeholder themselves.
+            target = getattr(obj, "_unwrapped", obj)
+            if hasattr(target, "_judf_placeholder"):
+                target._judf_placeholder = None
+
+
 def stop_active() -> None:
-    """Stop any active session (tests switch master between local[N])."""
+    """Stop any active session (tests/bench switch master between
+    local[N]) and drop cross-session UDF JVM handles."""
     s = SparkSession.getActiveSession()
     if s is not None:
         s.stop()
+    _reset_udf_judf_caches()

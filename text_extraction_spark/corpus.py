@@ -25,7 +25,12 @@ SEED = 42
 P_MEDIA = 0.2
 P_MEDIA_HEAVY_DOC = 0.05
 NOISE_P = 0.02  # salt-and-pepper probability per pixel
-PNG_FRACTION = 0.1  # fraction of media stored as real PNG (rest raw-u8)
+PNG_FRACTION = 0.1  # fraction of IMAGE media stored as real PNG (rest raw-u8)
+PDF_FRACTION = 0.25  # fraction of media spans that are PDF documents (A20)
+RGB_FRACTION = 0.15  # fraction of image media stored as 3-channel color
+EMBED_FRACTION = 0.15  # fraction of tables embedded in a larger page
+# (margins around the table → projection profiles fail, the Hough REGION
+# detector recovers the grid — imageproc.detect_rulings_hough_region)
 
 # Illumination gradient: background 120..255 along x+y, ink = bg - 100.
 # Ink max (155) overlaps background min (120), so *global* thresholding
@@ -163,11 +168,66 @@ class Media:
     expected_text: str  # generation-time truth; sanity tests only
 
 
+def gen_pdf_media(media_ref: str) -> Media:
+    """PDF media span (A20): 1–2 pages of word lines, operator mix and
+    compression chosen per-ref so the whole reader surface (Td/TD/T*/Tm
+    positioning, Tj vs kerned TJ, split /Contents, Flate on/off) is a
+    live corpus condition. expected = the layout-ordered text."""
+    from .engine.pdfproc import encode_pdf
+
+    rng = _rng("pdf", media_ref)
+    n_pages = 1 if rng.random() < 0.7 else 2
+    pages: list[list[str]] = []
+    for _ in range(n_pages):
+        n_lines = int(rng.integers(2, 7))
+        pages.append(
+            [
+                " ".join(
+                    CONTENT_WORDS[int(i)]
+                    for i in rng.integers(0, len(CONTENT_WORDS), int(rng.integers(3, 9)))
+                )
+                for _ in range(n_lines)
+            ]
+        )
+    variant = ("td", "tstar", "tm", "tj_kerned", "quote")[int(rng.integers(0, 5))]
+    data = encode_pdf(
+        pages,
+        compress=rng.random() < 0.7,
+        variant=variant,
+        split_content=rng.random() < 0.2,
+    )
+    expected = "\n".join("\n".join(p) for p in pages)
+    return Media(media_ref, 612, 792, "pdf", data, expected)
+
+
 def gen_media(media_ref: str) -> Media:
+    if _rng("mediakind", media_ref).random() < PDF_FRACTION:
+        return gen_pdf_media(media_ref)
     grid, expected = gen_table_content(media_ref)
-    gray = render_noisy_image(media_ref, render_table(grid))
+    ink = render_table(grid)
+    erng = _rng("embed", media_ref)
+    if erng.random() < EMBED_FRACTION:
+        th, tw = ink.shape
+        top, left = int(erng.integers(8, 40)), int(erng.integers(8, 40))
+        bot, right = int(erng.integers(8, 40)), int(erng.integers(8, 40))
+        page = np.zeros((th + top + bot, tw + left + right), np.uint8)
+        page[top : top + th, left : left + tw] = ink
+        ink = page
+    gray = render_noisy_image(media_ref, ink)
     h, w = gray.shape
-    use_png = (_rng("fmt", media_ref).random() < PNG_FRACTION)
+    rng = _rng("fmt", media_ref)
+    use_png = rng.random() < PNG_FRACTION
+    use_rgb = rng.random() < RGB_FRACTION
+    if use_rgb:
+        # color media: channel-replicated gray (integer luma with weights
+        # summing to 256 maps R=G=B=v back to exactly v, so the color
+        # path shares the SAME golden truth as the gray path)
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        if use_png:
+            from .engine.imageproc import encode_png_rgb8
+
+            return Media(media_ref, w, h, "png", encode_png_rgb8(rgb), expected)
+        return Media(media_ref, w, h, "raw-rgb8", rgb.tobytes(), expected)
     if use_png:
         return Media(media_ref, w, h, "png", encode_png_gray8(gray), expected)
     return Media(media_ref, w, h, "raw-u8", gray.tobytes(), expected)
@@ -181,11 +241,14 @@ class Doc:
     doc_id: str
     # spans as dicts matching the input_hint struct fields exactly
     spans: list[dict] = field(default_factory=list)
-    expected_texts: dict[int, str] = field(default_factory=dict)  # offset → main text
+    expected_texts: list[tuple[int, str]] = field(default_factory=list)  # (offset, main text)
 
 
 def gen_doc(doc_index: int) -> Doc:
-    """One document: interleaved text/media spans, offsets with gaps."""
+    """One document: interleaved text/media spans, offsets with gaps AND
+    occasional duplicates (gap 0) — input_hint doesn't promise unique
+    offsets, so the tie-break path of the order assignment is a real
+    fixture condition, not an untested branch."""
     doc_id = f"doc-{doc_index:08d}"
     rng = _rng("doc", doc_id)
     heavy = rng.random() < P_MEDIA_HEAVY_DOC
@@ -201,13 +264,16 @@ def gen_doc(doc_index: int) -> Doc:
     offset = 0
     media_j = 0
     for i, kind in enumerate(kinds):
-        offset += int(rng.integers(1, 4))  # gaps: offsets 1–3 apart, never dense
+        # gaps 1–3 usually; ~15% a 0-gap → duplicate offset (tie-break
+        # between the pipeline's sort_array and the oracle is exercised)
+        gap = int(rng.integers(1, 4)) if rng.random() >= 0.15 or i == 0 else 0
+        offset += gap
         if kind == "text":
             html, expected = gen_text_span(doc_id, i)
             doc.spans.append(
                 {"kind": "text", "text": html, "media_ref": None, "offset": offset}
             )
-            doc.expected_texts[offset] = expected
+            doc.expected_texts.append((offset, expected))
         else:
             ref = f"img-{doc_index:08d}-{media_j}"
             media_j += 1
@@ -282,6 +348,22 @@ def write_corpus_parquet(out_dir: str, n_docs: int, with_golden: bool = True) ->
     )
 
     stats = {"n_docs": len(docs), "n_media": len(media)}
+    # PDF generation-time truth (A20): PDF parsing is lossless (unlike
+    # the noisy-image OCR path), so expected_text doubles as a value
+    # ORACLE — the driver's DuckDB side reads this parquet while Spark
+    # re-extracts from the raw bytes (extraction_queries.x08).
+    pdfs = [m for m in media if m.fmt == "pdf"]
+    if pdfs:
+        pq.write_table(
+            pa.table(
+                {
+                    "media_ref": pa.array([m.media_ref for m in pdfs], pa.string()),
+                    "expected_text": pa.array([m.expected_text for m in pdfs], pa.string()),
+                }
+            ),
+            os.path.join(out_dir, "pdf_expected.parquet"),
+        )
+        stats["n_pdf"] = len(pdfs)
     if with_golden:
         lookup = {m.media_ref: m for m in media}
         out_span_t = pa.struct(

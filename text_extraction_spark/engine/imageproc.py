@@ -35,42 +35,67 @@ RULING_NUM = 85
 RULING_DEN = 100
 
 
+# Integer BT.601-style luma, weights summing to exactly 256 so gray
+# (R=G=B=v) converts to v with NO rounding drift — bit-deterministic.
+_LUMA_R, _LUMA_G, _LUMA_B = 77, 150, 29
+
+
+def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 → (H, W) uint8 luma, pure integer arithmetic."""
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+    return ((_LUMA_R * r + _LUMA_G * g + _LUMA_B * b) >> 8).astype(np.uint8)
+
+
 def decode_image(data: bytes, width: int, height: int, fmt: str) -> np.ndarray:
     """A7: image bytes → (height, width) uint8 grayscale array.
 
-    fmt 'raw-u8': row-major raw bytes. fmt 'png': minimal grayscale
-    8-bit PNG reader (stdlib zlib; filters 0–4) — no cv2/PIL in env.
+    fmt 'raw-u8': row-major raw gray bytes. 'raw-rgb8': row-major RGB
+    triplets, integer-luma converted. 'png': minimal PNG reader (stdlib
+    zlib; filters 0–4; color type 0 grayscale or 2 truecolor — no
+    cv2/PIL in env); color PNGs luma-convert the same way.
     """
     if fmt == "raw-u8":
         arr = np.frombuffer(data, dtype=np.uint8, count=width * height)
         return arr.reshape(height, width).copy()
+    if fmt == "raw-rgb8":
+        arr = np.frombuffer(data, dtype=np.uint8, count=width * height * 3)
+        return rgb_to_gray(arr.reshape(height, width, 3))
     if fmt == "png":
-        return _decode_png_gray8(data, width, height)
+        return _decode_png8(data, width, height)
     raise ValueError(f"unsupported media fmt: {fmt!r}")
 
 
-def _decode_png_gray8(data: bytes, width: int, height: int) -> np.ndarray:
-    """Minimal PNG decoder for 8-bit grayscale, no interlace."""
+def _decode_png8(data: bytes, width: int, height: int) -> np.ndarray:
+    """Minimal PNG decoder: 8-bit, color type 0 (gray) or 2 (RGB, then
+    integer-luma converted), no interlace. The unfilter 'left' reference
+    is `bpp` bytes back (spec 9. Filtering), so one implementation
+    serves both color types."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, idat = 8, []
+    pos, idat, color = 8, [], None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         chunk = data[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             w, h, depth, color = struct.unpack(">IIBB", chunk[:10])
-            if (w, h, depth, color) != (width, height, 8, 0):
-                raise ValueError("only 8-bit grayscale PNG supported")
+            if (w, h, depth) != (width, height, 8) or color not in (0, 2):
+                raise ValueError("only 8-bit gray/truecolor PNG supported")
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
             break
         pos += 12 + length
+    if color is None:
+        raise ValueError("PNG without IHDR")
+    bpp = 1 if color == 0 else 3
+    rowbytes = width * bpp
     raw = zlib.decompress(b"".join(idat))
-    stride = width + 1
-    out = np.zeros((height, width), dtype=np.uint8)
-    prev = np.zeros(width, dtype=np.int32)
+    stride = rowbytes + 1
+    out = np.zeros((height, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
     for y in range(height):
         line = raw[y * stride : (y + 1) * stride]
         ftype, row = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
@@ -79,10 +104,10 @@ def _decode_png_gray8(data: bytes, width: int, height: int) -> np.ndarray:
         elif ftype == 2:  # Up
             cur = (row + prev) & 0xFF
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
-            cur = np.zeros(width, dtype=np.int32)
-            a = 0
-            for x in range(width):
-                b, c = int(prev[x]), int(prev[x - 1]) if x else 0
+            cur = np.zeros(rowbytes, dtype=np.int32)
+            for x in range(rowbytes):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b, c = int(prev[x]), int(prev[x - bpp]) if x >= bpp else 0
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
@@ -92,12 +117,13 @@ def _decode_png_gray8(data: bytes, width: int, height: int) -> np.ndarray:
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 cur[x] = (int(row[x]) + pred) & 0xFF
-                a = int(cur[x])
         else:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out
+    if color == 0:
+        return out
+    return rgb_to_gray(out.reshape(height, width, 3))
 
 
 def encode_png_gray8(img: np.ndarray) -> bytes:
@@ -123,13 +149,39 @@ def encode_png_gray8(img: np.ndarray) -> bytes:
     )
 
 
+def encode_png_rgb8(img: np.ndarray) -> bytes:
+    """Minimal 8-bit truecolor (color type 2) PNG writer (filter 0) —
+    fixture generation for the color-decode path."""
+    h, w, _ = img.shape
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def integral_image(img: np.ndarray) -> np.ndarray:
-    """Zero-padded integral image, int32 (exact: 255·H·W stays far below
-    2^31 for the table-image sizes this engine handles; int32 halves the
-    memory traffic of the hottest stage — the decode UDF is DRAM-bound
-    when 32 workers run concurrently)."""
-    ii = np.zeros((img.shape[0] + 1, img.shape[1] + 1), dtype=np.int32)
-    np.cumsum(np.cumsum(img, axis=0, dtype=np.int32), axis=1, out=ii[1:, 1:])
+    """Zero-padded integral image. int32 while exact (255·H·W < 2^31 —
+    true for every table-image size the fixtures produce; int32 halves
+    the memory traffic of the hottest stage — the decode UDF is
+    DRAM-bound when 32 workers run concurrently), int64 above that
+    (~2900×2900 grayscale) so oversized scans still threshold correctly
+    instead of silently overflowing into a garbage ink mask."""
+    dt = np.int64 if int(img.shape[0]) * int(img.shape[1]) * 255 >= 2**31 else np.int32
+    ii = np.zeros((img.shape[0] + 1, img.shape[1] + 1), dtype=dt)
+    np.cumsum(np.cumsum(img, axis=0, dtype=dt), axis=1, out=ii[1:, 1:])
     return ii
 
 
@@ -238,12 +290,9 @@ def hough_accumulator(
     return acc, thetas, rhos
 
 
-def detect_rulings_hough(mask: np.ndarray) -> tuple[list[int], list[int]]:
-    """Ruling positions via the Hough accumulator: peaks at theta=90deg
-    (horizontal lines, rho=y) and theta=0 (vertical lines, rho=x) with
-    the same >= 85% vote threshold as the projection profiles. For
-    axis-aligned tables this is exactly equivalent to detect_rulings
-    (asserted in tests); kept for skewed inputs."""
+def _hough_axis_votes(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(rows_votes[y], cols_votes[x]) from the Hough accumulator's
+    theta=90°/theta=0° slices — per-position line-vote counts."""
     h, w = mask.shape
     acc, thetas, rhos = hough_accumulator(mask, n_theta=180)
     v_idx = 0  # theta = 0 → vertical lines (rho = x)
@@ -258,6 +307,39 @@ def detect_rulings_hough(mask: np.ndarray) -> tuple[list[int], list[int]]:
         y = int(rhos[rho_i])
         if 0 <= y < h:
             rows_votes[y] += int(votes)
-    rows = _ruling_positions(rows_votes, w)
-    cols = _ruling_positions(cols_votes, h)
-    return rows, cols
+    return rows_votes, cols_votes
+
+
+def detect_rulings_hough(mask: np.ndarray) -> tuple[list[int], list[int]]:
+    """Ruling positions via the Hough accumulator: peaks at theta=90deg
+    (horizontal lines, rho=y) and theta=0 (vertical lines, rho=x) with
+    the same >= 85% vote threshold as the projection profiles. For
+    axis-aligned full-extent tables this is exactly equivalent to
+    detect_rulings (asserted in tests)."""
+    h, w = mask.shape
+    rows_votes, cols_votes = _hough_axis_votes(mask)
+    return _ruling_positions(rows_votes, w), _ruling_positions(cols_votes, h)
+
+
+# Region mode (round 2): minimum strongest-line votes before a vote
+# pattern counts as a table at all — a blank/noise page's spurious Hough
+# peaks stay far below this, a real ruling (>= one cell across) far above.
+MIN_RULING_VOTES = 20
+
+
+def detect_rulings_hough_region(mask: np.ndarray) -> tuple[list[int], list[int]]:
+    """A10 region mode: ruling positions for a table EMBEDDED in a larger
+    page (margins around it). Projection profiles threshold against the
+    full image extent, so sub-extent rulings are invisible to them; here
+    each axis thresholds against its own STRONGEST line instead (>= 85%
+    of max votes — a text row inside the table keeps the same < 85%
+    margin it has in full-extent mode). Integer votes, deterministic."""
+    rows_votes, cols_votes = _hough_axis_votes(mask)
+
+    def pick(votes: np.ndarray) -> list[int]:
+        vmax = int(votes.max(initial=0))
+        if vmax < MIN_RULING_VOTES:
+            return []
+        return _ruling_positions(votes, vmax)
+
+    return pick(rows_votes), pick(cols_votes)

@@ -40,39 +40,55 @@ def decode_cell(mask: np.ndarray, y0: int, x0: int, y1: int, x1: int) -> str:
     return "".join(chars)
 
 
-def extract_table(gray: np.ndarray) -> str:
+def extract_table(gray: np.ndarray, detector: str = "auto") -> str:
     """A8→A14 composed: grayscale image → row-major table string.
 
     Cells joined by '|' within a row, rows by '\\n' — the reference's
     row-major cell-OCR ordering [B:6]. Returns '' if no grid is found.
 
+    detector: 'profile' = projection profiles only (full-extent rulings);
+    'auto' (default) falls back to Hough REGION detection when profiles
+    find no grid — recovering tables embedded in larger pages, whose
+    rulings never reach the profiles' full-extent threshold. The
+    fallback only runs on images profiles already failed (previously
+    dropped), so clean-table cost and golden outputs are unchanged.
+
     All cells decode in ONE vectorized pass: a single fancy-index gather
     pulls every (row, col, slot) 7x5 window, and one integer matmul
     computes all Hamming distances via |s| + |t| − 2·s·t. Identical
-    output to per-cell decode_cell (np.argmin keeps the blank-first /
-    alphabet-order tie-break) — asserted in tests/test_font.py.
+    output to per-cell decode_cell on ARBITRARY (incl. non-uniform)
+    grids: the slot count is computed PER COLUMN from that column's own
+    interior width and rows too short for a glyph are masked out —
+    exactly decode_cell's per-slot break conditions. Masked slots gather
+    clipped (in-bounds, value irrelevant) windows and are overwritten
+    with blank before assembly. Asserted in tests/test_font.py against
+    uniform AND non-uniform grids.
     """
     mask = imageproc.denoise(imageproc.adaptive_threshold(gray))
     rows, cols = imageproc.detect_rulings(mask)
+    if (len(rows) < 2 or len(cols) < 2) and detector == "auto":
+        rows, cols = imageproc.detect_rulings_hough_region(mask)
     if len(rows) < 2 or len(cols) < 2:
         return ""
     h, w = mask.shape
     r_arr = np.asarray(rows[:-1], dtype=np.int64)
     c_arr = np.asarray(cols[:-1], dtype=np.int64)
     n_rows, n_cols = len(r_arr), len(c_arr)
-    # slot windows must fit inside each cell interior
-    cell_h = min(rows[i + 1] - rows[i] - 1 for i in range(n_rows))
-    cell_w = min(cols[j + 1] - cols[j] - 1 for j in range(n_cols))
-    # same bound as decode_cell's loop: slots while PAD + k·ADVANCE +
-    # GLYPH_W <= cell_w, i.e. k_count = (cell_w − PAD − GLYPH_W)//ADVANCE + 1
-    if cell_w >= font.PAD + font.GLYPH_W:
-        k = min(font.MAX_CHARS, (cell_w - font.PAD - font.GLYPH_W) // font.ADVANCE + 1)
-    else:
-        k = 0
-    if k == 0 or cell_h < font.PAD + font.GLYPH_H:
-        # degenerate cells: fall back to the per-cell path
-        cells = imageproc.reconstruct_grid(rows, cols)
-        texts = [decode_cell(mask, y0, x0, y1, x1) for (_, _, y0, x0, y1, x1) in cells]
+    cell_h = np.diff(np.asarray(rows, dtype=np.int64)) - 1  # (R,) interior heights
+    cell_w = np.diff(np.asarray(cols, dtype=np.int64)) - 1  # (C,) interior widths
+    # decode_cell's loop bound, per column j: slot k fits iff
+    # PAD + k·ADVANCE + GLYPH_W <= cell_w[j]
+    k_per_col = np.where(
+        cell_w >= font.PAD + font.GLYPH_W,
+        np.minimum(
+            font.MAX_CHARS, (cell_w - font.PAD - font.GLYPH_W) // font.ADVANCE + 1
+        ),
+        0,
+    )  # (C,)
+    row_ok = cell_h >= font.PAD + font.GLYPH_H  # (R,) glyph row fits at all
+    k = int(k_per_col.max(initial=0))
+    if k == 0 or not row_ok.any():
+        texts = ["" for _ in range(n_rows * n_cols)]
     else:
         ys = (r_arr[:, None] + 1 + font.PAD) + np.arange(font.GLYPH_H)[None, :]  # (R,7)
         xs = (
@@ -80,13 +96,23 @@ def extract_table(gray: np.ndarray) -> str:
             + np.arange(k)[None, :, None] * font.ADVANCE
             + np.arange(font.GLYPH_W)[None, None, :]
         )  # (C,K,5)
+        # masked-out slots may index past the image on ragged grids —
+        # clip (gathered value irrelevant, overwritten below)
+        np.clip(ys, 0, h - 1, out=ys)
+        np.clip(xs, 0, w - 1, out=xs)
         slots = mask[
             ys[:, None, None, :, None], xs[None, :, :, None, :]
         ]  # (R,C,K,7,5)
         flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.int32)
         t = font._FLAT.astype(np.int32)  # (T,35)
         d = flat.sum(axis=1)[:, None] + t.sum(axis=1)[None, :] - 2 * (flat @ t.T)
-        idx = np.argmin(d, axis=1).reshape(n_rows * n_cols, k)
+        idx = np.argmin(d, axis=1).reshape(n_rows, n_cols, k)
+        # decode_cell's break conditions as a mask: slot k exists iff it
+        # fits the column's width AND the row fits a glyph vertically
+        valid = row_ok[:, None, None] & (
+            np.arange(k)[None, None, :] < k_per_col[None, :, None]
+        )  # (R,C,K)
+        idx = np.where(valid, idx, 0).reshape(n_rows * n_cols, k)
         # byte LUT: template index → ASCII char, NUL for blank, stripped
         lut = np.frombuffer(b"\x00" + font.ALPHABET.encode("ascii"), dtype=np.uint8)
         cell_bytes = lut[idx]  # (cells, k) uint8

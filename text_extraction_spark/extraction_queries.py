@@ -27,7 +27,7 @@ from .relational import t
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
-_CORPUS_VERSION = "v1"
+_CORPUS_VERSION = "v3"  # v3: dup-offset ties + PDF media + RGB color media
 _CORPUS_DOCS = 250
 
 
@@ -100,8 +100,11 @@ def x02(spark, sf):
 
 
 def corpus_dir() -> str:
-    """Deterministic fixture corpus, generated once per content version."""
-    d = f"/tmp/tes_corpus_{_CORPUS_VERSION}_{_CORPUS_DOCS}"
+    """Deterministic fixture corpus, generated once per content version
+    (under the ownership-verified per-user cache dir — conf.cache_root)."""
+    from .conf import cache_root
+
+    d = os.path.join(cache_root(), f"corpus_{_CORPUS_VERSION}_{_CORPUS_DOCS}")
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         from .corpus import write_corpus_parquet
@@ -112,7 +115,9 @@ def corpus_dir() -> str:
 
 
 def _run_pipeline(spark: SparkSession) -> str:
-    out = f"/tmp/tes_out_{_CORPUS_VERSION}_{_CORPUS_DOCS}"
+    from .conf import cache_root
+
+    out = os.path.join(cache_root(), f"out_{_CORPUS_VERSION}_{_CORPUS_DOCS}")
     if not os.path.exists(os.path.join(out, "extracted")):
         from .pipeline import extract_corpus
 
@@ -169,6 +174,33 @@ def x06(spark, sf):
         (F.size(F.split("table_text", "\n"))).alias("n_rows"),
         (F.size(F.split(F.split("table_text", "\n").getItem(0), r"\|"))).alias("n_cols"),
         "table_text",
+    )
+
+
+@q("x08_pdf_text_extraction")  # oracle registered lazily — see pdf_oracle_sql
+def x08(spark, sf):
+    """A20 PDF/layout parse standalone: the SAME fused media UDF over the
+    corpus's PDF media spans → (media_ref, pdf_text). PDF parsing is
+    lossless, so the DuckDB twin reads the generation-time expected text
+    (pdf_expected.parquet) — a full value-hash oracle, not rows-only:
+    a match proves the distributed byte-stream parse equals truth."""
+    from .pipeline import extract_media_udf
+
+    m = spark.read.parquet(os.path.join(corpus_dir(), "media.parquet")).filter(
+        F.col("fmt") == "pdf"
+    )
+    return m.select(
+        "media_ref",
+        extract_media_udf("width", "height", "fmt", "data").alias("pdf_text"),
+    )
+
+
+def pdf_oracle_sql() -> str:
+    """DuckDB twin for x08. Built lazily (not at import) because the SQL
+    embeds the generated corpus path and generation must have happened."""
+    return (
+        "SELECT media_ref, expected_text AS pdf_text "
+        f"FROM read_parquet('{corpus_dir()}/pdf_expected.parquet')"
     )
 
 

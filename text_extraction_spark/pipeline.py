@@ -70,6 +70,7 @@ from pyspark.sql.types import (
 from .engine.boilerplate import extract_main
 from .engine.imageproc import decode_image
 from .engine.ocr import extract_table, normalize_text
+from .engine.pdfproc import extract_pdf_text
 
 OUT_SPAN_TYPE = ArrayType(
     StructType(
@@ -151,6 +152,8 @@ def _extract_one_media(width, height, fmt, data) -> str | None:
     if data is None:
         return None
     try:
+        if fmt == "pdf":
+            return extract_pdf_text(bytes(data)) or None  # A20
         gray = decode_image(bytes(data), int(width), int(height), fmt)
         return extract_table(gray) or None
     except Exception:
@@ -161,11 +164,13 @@ def _extract_one_media(width, height, fmt, data) -> str | None:
 def extract_media_udf_timed(
     it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
 ) -> Iterator[pd.DataFrame]:
-    """Fused media path: decode (A7) → adaptive threshold (A8) → denoise
-    (A9) → rulings (A10) → grid (A11) → slot OCR (A12) → row-major
-    assembly (A13), timing folded in (see extract_text_udf_timed).
-    NULL = dropped (unresolved ref / decode error / no grid). Iterator
-    form: one Arrow crossing per batch, setup amortized per partition."""
+    """Fused media path: fmt 'pdf' → PDF/layout text parse (A20);
+    image fmts → decode (A7) → adaptive threshold (A8) → denoise (A9) →
+    rulings incl. embedded-region fallback (A10) → grid (A11) → slot OCR
+    (A12) → row-major assembly (A13); timing folded in (see
+    extract_text_udf_timed). NULL = dropped (unresolved ref / decode
+    error / no grid / empty PDF). Iterator form: one Arrow crossing per
+    batch, setup amortized per partition."""
     for width, height, fmt, data in it:
         t0 = time.monotonic()
         vals = [
@@ -278,7 +283,12 @@ def extract_spans(
     media_results = media.select(
         "media_ref",
         extract_media_udf_timed("width", "height", "fmt", "data").alias("r"),
-        (F.col("width") * F.col("height")).cast(LongType()).alias("est_cost"),
+        # A3 cost estimate: pixels for images, payload bytes for PDFs
+        # (page count is unknown pre-parse; byte size tracks parse cost)
+        F.when(F.col("fmt") == "pdf", F.octet_length("data"))
+        .otherwise(F.col("width") * F.col("height"))
+        .cast(LongType())
+        .alias("est_cost"),
         (F.spark_partition_id() * 2 + 1).alias("partition_id"),
     )
     if broadcast_media is True:
@@ -403,6 +413,11 @@ def compute_metrics(span_df: DataFrame, run_id: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- A18 manifest
+#
+# Round-2: ALL manifest/commit I/O goes through fsio.FS (the Hadoop
+# FileSystem API via the session JVM) — the round-1 os.* protocol was
+# driver-local-POSIX only; this one follows the table's OWN filesystem
+# (file:/, hdfs://, s3a://). Commit-point semantics in fsio.py docstring.
 
 
 def _manifest_dir(out_path: str) -> str:
@@ -410,35 +425,34 @@ def _manifest_dir(out_path: str) -> str:
 
 
 def read_committed_buckets(spark: SparkSession, out_path: str) -> set[int]:
+    from .fsio import FS
+
+    fs = FS(spark, out_path)
     mdir = _manifest_dir(out_path)
-    if not os.path.isdir(mdir) or not any(
-        f.endswith(".json") for f in os.listdir(mdir)
-    ):
-        return set()
+    names = [f for f in fs.listdir(mdir) if f.endswith(".json")]
     out: set[int] = set()
-    for f in sorted(os.listdir(mdir)):
-        if f.endswith(".json"):
-            with open(os.path.join(mdir, f)) as fh:
-                for line in fh:
-                    row = json.loads(line)
-                    if row["status"] == "committed":
-                        out.add(int(row["bucket"]))
+    for f in names:
+        for line in fs.read_text(os.path.join(mdir, f)).splitlines():
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            if row["status"] == "committed":
+                out.add(int(row["bucket"]))
     return out
 
 
-def _append_manifest(out_path: str, rows: list[dict]) -> None:
-    """Atomic manifest append: write temp file, fsync, rename — a reader
-    sees either the whole batch or nothing."""
+def _append_manifest(fs, out_path: str, rows: list[dict]) -> None:
+    """Atomic manifest append: one new whole file per batch (create +
+    rename on POSIX/HDFS; single-key PUT semantics on object stores) —
+    a reader sees either the whole batch or nothing."""
     mdir = _manifest_dir(out_path)
-    os.makedirs(mdir, exist_ok=True)
+    fs.mkdirs(mdir)
     name = f"commit-{rows[0]['run_id']}-{uuid.uuid4().hex[:8]}.json"
-    tmp = os.path.join(mdir, "." + name + ".tmp")
-    with open(tmp, "w") as fh:
-        for r in rows:
-            fh.write(json.dumps(r) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.rename(tmp, os.path.join(mdir, name))
+    fs.write_text_atomic(
+        os.path.join(mdir, name),
+        "".join(json.dumps(r) + "\n" for r in rows),
+        tmp_suffix=".tmp",
+    )
 
 
 def extract_corpus(
@@ -507,25 +521,27 @@ def extract_corpus(
         "bucket"
     ).parquet(staging)
 
-    os.makedirs(final_dir, exist_ok=True)
+    from .fsio import FS
+
+    fs = FS(spark, out_path)
+    fs.mkdirs(final_dir)
     committed_now = 0
     ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    bucket_dirs = sorted(
-        d for d in os.listdir(staging) if d.startswith("bucket=")
-    )
+    bucket_dirs = [d for d in fs.listdir(staging) if d.startswith("bucket=")]
     for i, bdir in enumerate(bucket_dirs):
         if _fail_after_buckets is not None and i >= _fail_after_buckets:
             raise RuntimeError(f"simulated crash after {i} bucket commits")
         src, dst = os.path.join(staging, bdir), os.path.join(final_dir, bdir)
-        if os.path.exists(dst):  # replay of an uncommitted leftover
-            import shutil
-
-            shutil.rmtree(dst)
-        os.rename(src, dst)
+        if fs.exists(dst):  # replay of an uncommitted leftover (a dst
+            # dir would also flip Hadoop rename into move-INSIDE-dst)
+            fs.delete(dst)
+        if not fs.rename(src, dst):
+            raise IOError(f"bucket rename failed: {src} -> {dst}")
         # commit point: the manifest row is appended immediately after the
         # rename so a crash leaves at most ONE renamed-but-uncommitted
         # bucket, which the replay overwrites (dst-exists branch above).
         _append_manifest(
+            fs,
             out_path,
             [
                 {
@@ -549,9 +565,8 @@ def extract_corpus(
     ).parquet(os.path.join(out_path, "metrics"))
 
     spans_out = sum(r["spans_out"] for r in metric_rows)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    if fs.exists(staging):
+        fs.delete(staging)
     return {
         "run_id": run_id,
         "docs": n_docs,

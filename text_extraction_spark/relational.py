@@ -701,31 +701,47 @@ def q34(spark, sf):
     shuffle — the scale pattern for repeatedly-joined 100 TB fact tables
     (write-once shuffle amortized across every downstream join).
     tests/test_plans.py asserts the plan has no Exchange."""
+    from .conf import cache_root
+
     tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
     ln, on = f"tes_li_b_{tag}", f"tes_or_b_{tag}"
-    base = f"/tmp/tes_bucketed_{tag}"
-    if not spark.catalog.tableExists(ln):
-        spark.sql(f"DROP TABLE IF EXISTS {ln}")
+    base = os.path.join(cache_root(), f"bucketed_{tag}")
+
+    def _fingerprint(src: str) -> str:
+        st = os.stat(src)
+        return f"{src}:{st.st_size}:{st.st_mtime_ns}"
+
+    def _fresh(name: str, path: str, src: str) -> bool:
+        """A cached bucketed table is reusable only if the metastore
+        entry, its data dir AND a fingerprint of the source parquet all
+        agree — a cleaned cache dir or regenerated testdata otherwise
+        serves stale/empty rows that diverge from the DuckDB oracle."""
+        if not spark.catalog.tableExists(name) or not os.path.isdir(path):
+            return False
+        fp = os.path.join(path, "_SRC_FINGERPRINT")
+        return os.path.exists(fp) and open(fp).read() == _fingerprint(src)
+
+    def _write(name: str, path: str, src_table: str, key: str, cols: list[str]) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        src = os.path.join(sf, f"{src_table}.parquet")
         (
-            t(spark, sf, "lineitem")
-            .select("l_orderkey", "l_extendedprice")
-            .write.bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .option("path", f"{base}/lineitem")
+            t(spark, sf, src_table)
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", path)
             .mode("overwrite")
-            .saveAsTable(ln)
+            .saveAsTable(name)
         )
-    if not spark.catalog.tableExists(on):
-        spark.sql(f"DROP TABLE IF EXISTS {on}")
-        (
-            t(spark, sf, "orders")
-            .select("o_orderkey", "o_totalprice")
-            .write.bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .option("path", f"{base}/orders")
-            .mode("overwrite")
-            .saveAsTable(on)
-        )
+        with open(os.path.join(path, "_SRC_FINGERPRINT"), "w") as fh:
+            fh.write(_fingerprint(src))
+
+    if not _fresh(ln, f"{base}/lineitem", os.path.join(sf, "lineitem.parquet")):
+        _write(ln, f"{base}/lineitem", "lineitem", "l_orderkey",
+               ["l_orderkey", "l_extendedprice"])
+    if not _fresh(on, f"{base}/orders", os.path.join(sf, "orders.parquet")):
+        _write(on, f"{base}/orders", "orders", "o_orderkey",
+               ["o_orderkey", "o_totalprice"])
     li = spark.table(ln)
     o = spark.table(on).filter(F.col("o_orderkey") % 25 == 0)
     return (
@@ -879,6 +895,11 @@ def q40(spark, sf):
         F.col("value").alias("vb"),
         F.floor(F.col("value") / eps).cast("long").alias("bucket"),
     )
+    # No dedup needed: the right side carries exactly ONE bucket per row
+    # and the left's three exploded buckets are distinct values, so each
+    # qualifying pair matches exactly once — a trailing distinct() would
+    # be a redundant full shuffle of the result (plan test asserts no
+    # post-join aggregate Exchange).
     return (
         left.join(right, "bucket")
         .filter(
@@ -886,5 +907,4 @@ def q40(spark, sf):
             & (F.abs(F.col("va") - F.col("vb")) <= eps)
         )
         .select("id_a", "id_b", F.round(F.abs(F.col("va") - F.col("vb")), 4).alias("dv"))
-        .distinct()
     )

@@ -50,8 +50,18 @@ def make_replay_dir(
         step = max(1, n // n_chunks)
         chunks = [tbl.slice(i * step, step) for i in range(n_chunks - 1)]
         chunks.append(tbl.slice((n_chunks - 1) * step))
+    import time as _time
+
+    base_mtime = _time.time()
     for i, c in enumerate(c for c in chunks if c.num_rows):
-        pq.write_table(c, os.path.join(out_dir, f"chunk-{i:03d}.parquet"))
+        p = os.path.join(out_dir, f"chunk-{i:03d}.parquet")
+        pq.write_table(c, p)
+        # FileStreamSource orders new files by MODIFICATION TIME; chunks
+        # written within the same clock tick tie and can be picked up out
+        # of order (observed: the held-back late chunk processed early →
+        # watermark never ahead of it → flaky drop counts). Strictly
+        # increasing mtimes make replay order = chunk order, always.
+        os.utime(p, (base_mtime + i, base_mtime + i))
     return out_dir
 
 
