@@ -47,7 +47,10 @@ HEADLINE = [
     "d02_dedup_minhash_lsh",
     "d05_ann_cosine_bruteforce",
     "d07_token_count",
+    "d16_pii_scrub",
+    "d17_paragraph_dedup",
     "x01_main_content_extraction",
+    "x08_pdf_text_extraction",
 ]
 
 

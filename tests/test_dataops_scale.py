@@ -86,14 +86,15 @@ def test_hyperplane_buckets_deterministic_and_shaped():
 
 
 def test_ann_recall_floor(spark):
-    """Measured floor for the shipped (32 tables × 6 planes) config on
-    the noise-like testdata (true neighbors at cosine ~0.3 — worst case
-    for any ANN): mean recall@3 >= 0.75. Deterministic: seeded planes,
-    fixed data."""
+    """Measured floors on the noise-like testdata (true neighbors at
+    cosine ~0.3 — worst case for any ANN), deterministic (seeded planes
+    / centroids, fixed data): LSH (32×6 planes) mean recall@3 >= 0.75 at
+    ~0.41 candidate fraction; IVF (k=32, nprobe=6) >= 0.5 at ~0.19."""
     rows = dataops.d14(spark, SF).collect()
-    mean = [r["recall_at_3"] for r in rows if r["q_id"] == -1][0]
-    assert mean >= 0.75, mean
-    assert len(rows) == dataops._RECALL_QUERIES + 1
+    means = {r["op"]: r["recall_at_3"] for r in rows if r["q_id"] == -1}
+    assert means["lsh"] >= 0.75, means
+    assert means["ivf"] >= 0.50, means
+    assert len(rows) == 2 * (dataops._RECALL_QUERIES + 1)
 
 
 def test_approx_count_distinct_within_bound(spark):

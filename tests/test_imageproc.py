@@ -294,3 +294,16 @@ def test_hough_region_blank_page_no_false_grid():
 
     gray = corpus.render_noisy_image("blankpage", np.zeros((80, 120), np.uint8))
     assert ocr.extract_table(gray) == ""
+
+
+def test_region_votes_equal_hough_axis_slices():
+    """The region detector's profile sums must equal the Hough
+    accumulator's theta=0/90 vote slices (the equivalence that licenses
+    the O(H+W) fast path)."""
+    rng = np.random.default_rng(13)
+    mask = (rng.random((40, 50)) < 0.1).astype(np.uint8)
+    mask[17, 5:45] = 1
+    mask[:, 30] = 1
+    rows_votes, cols_votes = imageproc._hough_axis_votes(mask)
+    assert np.array_equal(rows_votes, mask.sum(axis=1, dtype=np.int64))
+    assert np.array_equal(cols_votes, mask.sum(axis=0, dtype=np.int64))

@@ -383,14 +383,117 @@ def d06(spark, sf):
 
 _RECALL_QUERIES = 50  # d14 evaluation set: vec_id < 50
 
+# IVF config (d15): k-means centroids trained on a BOUNDED driver-side
+# sample (the faiss shape — train on a sample, assign distributed);
+# queries probe their nprobe nearest cells. Measured on the noise-like
+# testdata: recall@3 ≈ 0.6 at ~0.19 candidate fraction — a 2nd point on
+# the recall/work curve next to d06's LSH (0.78 @ 0.41). On real
+# clustered embeddings IVF reduces far more (cells match structure).
+_IVF_K = 32
+_IVF_NPROBE = 6
+_IVF_TRAIN_CAP = 2048
+_IVF_ITERS = 5
+_ivf_cache: dict = {}
 
-@q("d14_ann_recall")  # ⊘ rows-only (meta-metric over an approximate op)
-def d14(spark, sf):
-    """ANN recall gate: recall@3 of d06's LSH path against an exact
-    brute-force twin over a 50-query evaluation set, per query plus a
-    corpus-mean row (q_id = -1). At 100 TB an unmeasured ANN is an
-    unknown — this IS the measurement, runnable at any sf (the exact
-    side broadcasts only the 50 query vectors, so it stays linear)."""
+
+def _ivf_centroids(spark, sf) -> np.ndarray:
+    """Seeded spherical k-means on <= _IVF_TRAIN_CAP sample vectors —
+    deterministic, bounded driver memory at any corpus size."""
+    key = sf
+    if key in _ivf_cache:
+        return _ivf_cache[key]
+    rows = (
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < _IVF_TRAIN_CAP)
+        .select("embedding")
+        .collect()
+    )
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.Generator(np.random.PCG64(42))
+    C = X[rng.choice(len(X), min(_IVF_K, len(X)), replace=False)].copy()
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j_ in range(len(C)):
+            m = assign == j_
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j_] = c / np.linalg.norm(c)
+    _ivf_cache[key] = C
+    return C
+
+
+def _ivf_cells_udf(C: np.ndarray, nprobe: int):
+    """Pandas UDF: embedding → its `nprobe` nearest centroid cells (one
+    batch matmul; centroids ride the closure → shipped once per task)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells(embs: pd.Series) -> pd.Series:
+        dim = C.shape[1]
+        out: list[list[int]] = []
+        ok_rows, mats = [], []
+        for i, e in enumerate(embs):
+            v = np.asarray(e, dtype=np.float64)
+            if v.shape == (dim,):
+                ok_rows.append(i)
+                mats.append(v / max(np.linalg.norm(v), 1e-30))
+            out.append([-1])
+        if mats:
+            sims = np.stack(mats) @ C.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            for row, i in enumerate(ok_rows):
+                out[i] = [int(x) for x in top[row]]
+        return pd.Series(out)
+
+    return cells
+
+
+@q("d15_ann_ivf")  # ⊘ rows-only (approximate; recall gated by d14)
+def d15(spark, sf):
+    """IVF ANN: every vector lives in its home cell; each query probes
+    its _IVF_NPROBE nearest cells; candidates = per-cell equi join →
+    exact cosine re-rank top-3. Data side carries ONE cell per row and
+    probe cells are distinct, so each (q, v) pair matches at most once —
+    no dedup aggregate needed. Work scales with cell occupancy × nprobe,
+    never corpus²."""
+    C = _ivf_centroids(spark, sf)
+    home = _ivf_cells_udf(C, 1)
+    probe = _ivf_cells_udf(C, _IVF_NPROBE)
+    e = t(spark, sf, "embeddings")
+    data = e.select(
+        "vec_id", "embedding", F.explode(home("embedding")).alias("cell")
+    ).filter(F.col("cell") >= 0)
+    qs = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(probe("embedding")).alias("cell"),
+    ).filter(F.col("cell") >= 0)
+    j = qs.join(data, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sims = j.select(
+        "q_id", "vec_id",
+        F.round(dot / norm(F.col("embedding")) / norm(F.col("qe")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
+        "q_id", "vec_id", "cosine"
+    )
+
+
+def _exact_top3(spark, sf):
+    """Exact brute-force top-3 over the _RECALL_QUERIES evaluation set
+    (broadcasts only the query vectors — linear at any corpus size)."""
     e = t(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
@@ -413,25 +516,43 @@ def d14(spark, sf):
         (dot / norm(F.col("embedding")) / norm(F.col("qe"))).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    exact3 = sims.withColumn("rn", F.row_number().over(w)).filter(
+    return sims.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 3
     ).select("q_id", "vec_id")
-    approx = d06(spark, sf).select("q_id", "vec_id")
-    hits = exact3.join(approx, ["q_id", "vec_id"], "left_semi")
-    per_q = (
-        exact3.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
-        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")), "q_id", "left")
-        .select(
-            "q_id",
-            F.round(
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_true"), 4
-            ).alias("recall_at_3"),
+
+
+@q("d14_ann_recall")  # ⊘ rows-only (meta-metric over approximate ops)
+def d14(spark, sf):
+    """ANN recall gate for BOTH approximate paths (d06 LSH, d15 IVF):
+    recall@3 against the exact brute-force twin over a 50-query set, per
+    query plus a corpus-mean row (q_id = -1) per op. At 100 TB an
+    unmeasured ANN is an unknown — this IS the measurement, runnable at
+    any sf."""
+    exact3 = _exact_top3(spark, sf)
+
+    def recall_of(approx, op: str):
+        hits = exact3.join(approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi")
+        per_q = (
+            exact3.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
+            .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")), "q_id", "left")
+            .select(
+                F.lit(op).alias("op"),
+                "q_id",
+                F.round(
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_true"), 4
+                ).alias("recall_at_3"),
+            )
         )
+        mean_row = per_q.agg(
+            F.lit(op).alias("op"),
+            F.lit(-1).alias("q_id"),
+            F.round(F.avg("recall_at_3"), 4).alias("recall_at_3"),
+        )
+        return per_q.unionByName(mean_row)
+
+    return recall_of(d06(spark, sf), "lsh").unionByName(
+        recall_of(d15(spark, sf), "ivf")
     )
-    mean_row = per_q.agg(
-        F.lit(-1).alias("q_id"), F.round(F.avg("recall_at_3"), 4).alias("recall_at_3")
-    )
-    return per_q.unionByName(mean_row)
 
 
 # ----------------------------------------------------------- text analysis
@@ -662,4 +783,93 @@ def d13(spark, sf):
     jac = F.round(inter.cast("double") / union, 6)
     return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= 0.5
+    )
+
+
+# PII scrubbing (d16): conservative lookaround-free patterns that parse
+# identically under Java regex (Spark) and RE2 (DuckDB).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# Deterministic PII injection (every 7th doc) so the scrub machinery is
+# value-checked on NON-zero redaction counts — the raw word-salad
+# testdata contains no PII at all.
+_PII_SUFFIX = " contact alice.smith@example.com or 192.168.1.77 now"
+
+_PII_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_PII_SUFFIX}' ELSE text END AS itext
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(itext,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_IPV4_RE}', '<IP>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(itext, '{_EMAIL_RE}'))
+            + len(regexp_extract_all(itext, '{_IPV4_RE}')) AS INT) AS n_redactions
+FROM injected
+"""
+
+
+@q("d16_pii_scrub", _PII_SQL)
+def d16(spark, sf):
+    """PII scrubbing for training data: redact emails + IPv4s, count
+    redactions — pure JVM regexp_replace/regexp_count (whole-stage
+    codegen, no Python). A deterministic injected suffix on every 7th
+    doc gives the oracle non-trivial redaction counts to value-check."""
+    d = t(spark, sf, "documents")
+    itext = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(itext, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_IPV4_RE),
+        F.lit("<IP>"),
+    )
+    n_red = (
+        F.regexp_count(itext, F.lit(_EMAIL_RE)) + F.regexp_count(itext, F.lit(_IPV4_RE))
+    ).cast("int")
+    return d.select("doc_id", scrubbed.alias("scrubbed"), n_red.alias("n_redactions"))
+
+
+_PARA_WORDS = 12
+
+_PARA_SQL = f"""
+WITH paras AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(greatest(CAST(ceil(len(string_split(text, ' ')) / {_PARA_WORDS}.0) AS BIGINT), 1)),
+             i -> array_to_string(string_split(text, ' ')[(i*{_PARA_WORDS}+1):(i*{_PARA_WORDS}+{_PARA_WORDS})], ' ')
+         )) AS para
+  FROM documents
+)
+SELECT md5(para) AS para_hash, min(doc_id) AS keep_doc,
+       count(*) AS n_copies
+FROM paras GROUP BY md5(para) HAVING count(*) > 1
+"""
+
+
+@q("d17_paragraph_dedup", _PARA_SQL)
+def d17(spark, sf):
+    """Sub-document (paragraph-level) dedup — the granularity real
+    training-data pipelines dedup boilerplate at: chunk each doc into
+    {12}-word paragraphs JVM-side (sequence+transform+slice — no
+    Python), hash, single groupBy keeping the smallest doc_id. One
+    shuffle on the uniform hash key; never a self-join."""
+    d = t(spark, sf, "documents")
+    words = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(_PARA_WORDS))).cast("long"), F.lit(1).cast("long")
+    )
+    paras = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, (i * _PARA_WORDS + 1).cast("int"), _PARA_WORDS), " "
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(paras).alias("para"))
+        .groupBy(F.md5("para").alias("para_hash"))
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
     )
