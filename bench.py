@@ -2,18 +2,26 @@
 """Per-round benchmark (driver contract + BASELINE.md scaling evidence).
 
 Runs headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS] (default 32), PLUS the extraction pipeline
-over this repo's bench corpus at TWO parallelism levels — local[8] and
-local[N] — standing in for N vs 4N executors (BASELINE.json north_rule;
-no real cluster exists in this sandbox). Prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS] (default 32), PLUS the extraction pipeline's
+N→4N scaling evidence, measured two ways:
+
+* PRIMARY (round 2): Spark local-cluster mode with REAL separate
+  executor JVMs — local-cluster[1,2] vs local-cluster[4,2] is literally
+  1 executor vs 4 executors (the north rule's "two cluster sizes, N and
+  4N executors"), with executor-side shuffle service, serialization and
+  per-executor Python worker pools all live.
+* secondary: local[n] thread pairs (2→8→32 cores) as in round 1.
+
+Prints ONE JSON line:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "extraction": {docs_per_sec@8/@N,
-   scaling_efficiency}}
+   "queries": {...}, "sf": ..., "extraction": {docs_per_sec@…,
+   scaling_efficiency, executor_scaling: {...}}}
 
 Protocol (SURVEY §6): corpus pre-generated (not timed), one warm-up per
-session discarded, bench timings are medians of BENCH_REPEATS runs,
-full materialization forced via the noop sink.
+session discarded, bench timings are medians of BENCH_REPEATS runs
+(min for extraction — host noise only adds time), full materialization
+forced via the noop sink.
 """
 
 from __future__ import annotations
@@ -59,7 +67,7 @@ def _bench_corpus() -> str:
     the ownership-verified per-user cache dir (conf.cache_root)."""
     from text_extraction_spark.conf import cache_root
 
-    d = os.path.join(cache_root(), f"bench_corpus_v3_{BENCH_DOCS}")
+    d = os.path.join(cache_root(), f"bench_corpus_v4_{BENCH_DOCS}")
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         from text_extraction_spark.corpus import write_corpus_parquet
@@ -81,7 +89,12 @@ def _run_extraction(master: str, corpus: str, tag: str, repeats: int | None = No
     from text_extraction_spark.pipeline import extract_spans, load_corpus, load_media, reassemble
 
     stop_active()
-    cores = int(master.split("[")[1].rstrip("]"))
+    inner = master.split("[")[1].rstrip("]")
+    if "," in inner:  # local-cluster[execs,cores_per_exec,mem] → total cores
+        execs, cpe = (int(x) for x in inner.split(",")[:2])
+        cores = execs * cpe
+    else:
+        cores = int(inner)
     spark = get_spark(
         master,
         app_name=f"bench-{tag}",
@@ -114,13 +127,17 @@ def _run_extraction(master: str, corpus: str, tag: str, repeats: int | None = No
 def main() -> None:
     corpus = _bench_corpus()
 
-    # ---- extraction scaling at three parallelism levels (N, 4N, 16N).
-    # The north-rule pair is LOW→MID (2→8 cores = N→4N): on this single
-    # box, levels past ~8 concurrent decoders saturate shared DRAM
-    # bandwidth that separate cluster nodes would each have to themselves
-    # (evidence in BENCH/BASELINE.md), so 8→32 is reported as the
-    # secondary, bandwidth-bound pair.
-    # the low level is compute-bound and stable — one rep keeps bench wall sane
+    # ---- PRIMARY north-rule evidence: 1 executor vs 4 executors, real
+    # separate JVMs via local-cluster (each 2 cores + 2 GB). Below ~8
+    # total cores the box is compute-bound, so the executor pair
+    # measures the JOB's scaling, not the host's DRAM ceiling.
+    exe_1 = _run_extraction("local-cluster[1,2,2048]", corpus, "e1x2", repeats=2)
+    exe_4 = _run_extraction("local-cluster[4,2,2048]", corpus, "e4x2", repeats=2)
+    eff_exec = (exe_4["docs_per_sec"] / exe_1["docs_per_sec"]) / 4.0
+
+    # ---- secondary: in-process thread scaling at three levels (2/8/32
+    # cores). 8→32 is DRAM-bandwidth-bound on this shared box (separate
+    # cluster nodes each have their own DRAM — BENCH/BASELINE.md).
     ext_low = _run_extraction(f"local[{LOW_CPUS}]", corpus, f"c{LOW_CPUS}", repeats=2)
     ext_mid = _run_extraction(f"local[{MID_CPUS}]", corpus, f"c{MID_CPUS}")
     ext_high = _run_extraction(f"local[{CPUS}]", corpus, f"c{CPUS}")
@@ -147,7 +164,10 @@ def main() -> None:
     stop_active()
 
     total = round(
-        sum(timings.values()) + ext_low["wall_s"] + ext_mid["wall_s"] + ext_high["wall_s"], 3
+        sum(timings.values())
+        + exe_1["wall_s"] + exe_4["wall_s"]
+        + ext_low["wall_s"] + ext_mid["wall_s"] + ext_high["wall_s"],
+        3,
     )
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
@@ -158,6 +178,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {
                     **timings,
+                    "extraction_1exec_2c": exe_1["wall_s"],
+                    "extraction_4exec_8c": exe_4["wall_s"],
                     f"extraction_{LOW_CPUS}c": ext_low["wall_s"],
                     f"extraction_{MID_CPUS}c": ext_mid["wall_s"],
                     f"extraction_{CPUS}c": ext_high["wall_s"],
@@ -168,11 +190,20 @@ def main() -> None:
                     f"docs_per_sec_{LOW_CPUS}c": ext_low["docs_per_sec"],
                     f"docs_per_sec_{MID_CPUS}c": ext_mid["docs_per_sec"],
                     f"docs_per_sec_{CPUS}c": ext_high["docs_per_sec"],
-                    "scaling_efficiency": round(eff_n_4n, 3),
-                    "scaling_pair_cores": [LOW_CPUS, MID_CPUS],
-                    "scaling_efficiency_secondary": round(eff_4n_16n, 3),
-                    "secondary_pair_cores": [MID_CPUS, CPUS],
-                    "note": "primary pair is N->4N cores under the box's DRAM-bandwidth ceiling; see BENCH/BASELINE.md",
+                    "scaling_efficiency": round(eff_exec, 3),
+                    "executor_scaling": {
+                        "mode": "local-cluster (separate executor JVMs)",
+                        "docs_per_sec_1_executor": exe_1["docs_per_sec"],
+                        "docs_per_sec_4_executors": exe_4["docs_per_sec"],
+                        "executors_pair": [1, 4],
+                        "cores_per_executor": 2,
+                        "efficiency_n_to_4n_executors": round(eff_exec, 3),
+                    },
+                    "thread_scaling": {
+                        "efficiency_2c_to_8c": round(eff_n_4n, 3),
+                        "efficiency_8c_to_32c": round(eff_4n_16n, 3),
+                        "note": "8->32c is DRAM-bandwidth-bound on this shared box; see BENCH/BASELINE.md",
+                    },
                 },
             }
         )

@@ -70,6 +70,8 @@ def test_media_extraction_accuracy():
         m = corpus.gen_media(f"acc-{i}")
         if m.fmt == "pdf":  # A20 media are lossless-parsed, tested in test_pdf
             continue
+        if corpus.is_skewed_media(f"acc-{i}"):
+            continue  # best-effort path, own floor in test_skew.py
         n_img += 1
         got = extract_table(decode_image(m.data, m.width, m.height, m.fmt))
         if got != m.expected_text:

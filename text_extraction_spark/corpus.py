@@ -31,6 +31,10 @@ RGB_FRACTION = 0.15  # fraction of image media stored as 3-channel color
 EMBED_FRACTION = 0.15  # fraction of tables embedded in a larger page
 # (margins around the table → projection profiles fail, the Hough REGION
 # detector recovers the grid — imageproc.detect_rulings_hough_region)
+SKEW_FRACTION = 0.1  # fraction of tables scanned at a 0.8–4° tilt
+# (straight detectors all fail → fine-theta skew estimate + fixed-point
+# NN deskew + offset-search decode; best-effort text, exact golden by
+# construction — the oracle shares the extractor)
 
 # Illumination gradient: background 120..255 along x+y, ink = bg - 100.
 # Ink max (155) overlaps background min (120), so *global* thresholding
@@ -200,6 +204,13 @@ def gen_pdf_media(media_ref: str) -> Media:
     return Media(media_ref, 612, 792, "pdf", data, expected)
 
 
+def is_skewed_media(media_ref: str) -> bool:
+    """Whether this (image) media_ref renders at a tilt — exposed so
+    tests can hold skewed media to their own (best-effort) accuracy
+    floor; the GOLDEN contract stays exact for every media kind."""
+    return _rng("skew", media_ref).random() < SKEW_FRACTION
+
+
 def gen_media(media_ref: str) -> Media:
     if _rng("mediakind", media_ref).random() < PDF_FRACTION:
         return gen_pdf_media(media_ref)
@@ -213,6 +224,15 @@ def gen_media(media_ref: str) -> Media:
         page = np.zeros((th + top + bot, tw + left + right), np.uint8)
         page[top : top + th, left : left + tw] = ink
         ink = page
+    elif is_skewed_media(media_ref):
+        from .engine.imageproc import rotate_mask_nn
+
+        srng = _rng("skewang", media_ref)
+        th, tw = ink.shape
+        page = np.zeros((th + 40, tw + 40), np.uint8)
+        page[20 : 20 + th, 20 : 20 + tw] = ink
+        ang = float(srng.uniform(0.8, 4.0)) * (1 if srng.random() < 0.5 else -1)
+        ink = rotate_mask_nn(page, ang)
     gray = render_noisy_image(media_ref, ink)
     h, w = gray.shape
     rng = _rng("fmt", media_ref)

@@ -326,6 +326,99 @@ def detect_rulings_hough(mask: np.ndarray) -> tuple[list[int], list[int]]:
 # peaks stay far below this, a real ruling (>= one cell across) far above.
 MIN_RULING_VOTES = 20
 
+# Skew handling (round 2): fine-theta window searched around horizontal
+# (±SKEW_MAX_DEG in SKEW_STEP_DEG steps), and the fixed-point scale for
+# the deterministic nearest-neighbor rotation.
+SKEW_MAX_DEG = 6.0
+SKEW_STEP_DEG = 0.1
+_FIX = 1 << 16  # 16.16 fixed point — rounds libm cos/sin to 2^-16,
+# absorbing any cross-platform ulp differences (bit-determinism)
+
+
+def _best_skew_delta(
+    ys: np.ndarray, xs: np.ndarray, diag: int, deltas: np.ndarray
+) -> tuple[int, float]:
+    """(max votes, delta) over the candidate angles, ties → nearest-zero
+    delta. One flattened bincount per angle CHUNK (not per angle): bins
+    are offset by theta-index · n_rho so every angle accumulates into
+    its own stripe — ~20× the per-angle-bincount loop."""
+    n_rho = 2 * diag + 1
+    # nearest-zero-first order makes the strict-> comparison resolve ties
+    # toward the straightest interpretation
+    order = sorted(range(len(deltas)), key=lambda i: (abs(deltas[i]), deltas[i]))
+    deltas = deltas[order]
+    thetas = np.deg2rad(90.0 + deltas)
+    cos_t, sin_t = np.cos(thetas), np.sin(thetas)
+    best_votes, best_delta = 0, 0.0
+    chunk = max(1, int(4_000_000 // max(ys.size, 1)))  # ~32 MB per chunk
+    for s in range(0, len(deltas), chunk):
+        e = min(s + chunk, len(deltas))
+        rho = xs[None, :] * cos_t[s:e, None] + ys[None, :] * sin_t[s:e, None]
+        bins = np.floor(rho + diag + 0.5).astype(np.int64)
+        bins += np.arange(e - s, dtype=np.int64)[:, None] * n_rho
+        counts = np.bincount(bins.ravel(), minlength=(e - s) * n_rho)
+        per_theta = counts.reshape(e - s, n_rho).max(axis=1)
+        for j in range(e - s):
+            v = int(per_theta[j])
+            if v > best_votes:  # strict > : nearest-zero delta wins ties
+                best_votes, best_delta = v, float(deltas[s + j])
+    return best_votes, best_delta
+
+
+def estimate_skew_deg(mask: np.ndarray) -> float:
+    """CORRECTION angle (degrees) for the dominant near-horizontal line,
+    found via a COARSE→FINE Hough theta search around 90° (1.0° sweep
+    over ±SKEW_MAX_DEG, then 0.1° refinement ±1° around the coarse
+    peak): rotate_mask_nn(mask, estimate_skew_deg(mask)) straightens it
+    (round-trip asserted in tests). Returns 0.0 when the best
+    near-horizontal line is weaker than MIN_RULING_VOTES (no table).
+    Integer vote accumulation over FIXED angle grids — deterministic."""
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return 0.0
+    h, w = mask.shape
+    diag = int(np.ceil(np.hypot(h, w)))
+    coarse = np.round(np.arange(-SKEW_MAX_DEG, SKEW_MAX_DEG + 1e-9, 1.0), 4)
+    _, d0 = _best_skew_delta(ys, xs, diag, coarse)
+    fine = np.round(
+        np.arange(
+            max(d0 - 1.0, -SKEW_MAX_DEG),
+            min(d0 + 1.0, SKEW_MAX_DEG) + 1e-9,
+            SKEW_STEP_DEG,
+        ),
+        4,
+    )
+    best_votes, best_delta = _best_skew_delta(ys, xs, diag, fine)
+    if best_votes < MIN_RULING_VOTES:
+        return 0.0
+    # a page rotated by `a` via rotate_mask_nn peaks at delta = +a, so
+    # the correction (the angle that undoes it) is -best_delta
+    # (round-trip asserted in tests; accuracy is bounded by the rho bin
+    # width over the line length — ~atan(1px/width)).
+    return -round(best_delta, 4)
+
+
+def rotate_mask_nn(mask: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate a binary mask by angle_deg (CCW) about the image center —
+    inverse-mapped nearest neighbor in 16.16 fixed point (pure integer
+    sampling; out-of-frame → 0). Same-shape output."""
+    h, w = mask.shape
+    a = np.deg2rad(angle_deg)
+    c = int(round(np.cos(a) * _FIX))
+    s = int(round(np.sin(a) * _FIX))
+    cy, cx = (h - 1) // 2, (w - 1) // 2
+    ty, tx = np.mgrid[0:h, 0:w]
+    dy, dx = ty - cy, tx - cx
+    # inverse rotation: source = R(-a) · target
+    sx = (c * dx + s * dy + _FIX // 2) >> 16
+    sy = (-s * dx + c * dy + _FIX // 2) >> 16
+    sx = sx + cx
+    sy = sy + cy
+    ok = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
+    out = np.zeros_like(mask)
+    out[ok] = mask[sy[ok], sx[ok]]
+    return out
+
 
 def detect_rulings_hough_region(mask: np.ndarray) -> tuple[list[int], list[int]]:
     """A10 region mode: ruling positions for a table EMBEDDED in a larger

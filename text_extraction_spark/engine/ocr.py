@@ -67,9 +67,39 @@ def extract_table(gray: np.ndarray, detector: str = "auto") -> str:
     mask = imageproc.denoise(imageproc.adaptive_threshold(gray))
     rows, cols = imageproc.detect_rulings(mask)
     if (len(rows) < 2 or len(cols) < 2) and detector == "auto":
-        rows, cols = imageproc.detect_rulings_hough_region(mask)
+        # Skew FIRST: on a tilted table the region detector would accept
+        # the vote smear as a (garbage) grid, so the tilt estimate gates
+        # which fallback runs. Straight-but-embedded tables estimate ~0°
+        # and take the region path; tilted ones get deskewed (fixed-point
+        # NN rotation of the MASK), re-detected, and decoded with a
+        # global ±2 px offset search absorbing the rotation's jitter.
+        # Both fallbacks only ever run on images profiles already missed.
+        ang = imageproc.estimate_skew_deg(mask)
+        if abs(ang) >= 0.3:
+            mask2 = imageproc.rotate_mask_nn(mask, ang)
+            r2, c2 = imageproc.detect_rulings(mask2)
+            if len(r2) < 2 or len(c2) < 2:
+                r2, c2 = imageproc.detect_rulings_hough_region(mask2)
+            if len(r2) >= 2 and len(c2) >= 2:
+                return _decode_grid(mask2, r2, c2, offset_search=True)
+        else:
+            rows, cols = imageproc.detect_rulings_hough_region(mask)
     if len(rows) < 2 or len(cols) < 2:
         return ""
+    return _decode_grid(mask, rows, cols)
+
+
+def _decode_grid(
+    mask: np.ndarray, rows: list[int], cols: list[int], offset_search: bool = False
+) -> str:
+    """Vectorized grid decode given ruling positions (see extract_table).
+    offset_search=True additionally tries every (dy, dx) window shift in
+    [-2, 2]² PER CELL and keeps, for each cell, the shift whose summed
+    best-template Hamming distance over the cell's slots is smallest
+    (ties → centered-first order) — tolerance for the spatially-varying
+    ≤2 px jitter a deskew rotation leaves, rigid enough (a whole cell
+    shares one shift) not to let single slots overfit noise to a wrong
+    template; the (0,0) path is bit-identical to the plain decode."""
     h, w = mask.shape
     r_arr = np.asarray(rows[:-1], dtype=np.int64)
     c_arr = np.asarray(cols[:-1], dtype=np.int64)
@@ -90,29 +120,47 @@ def extract_table(gray: np.ndarray, detector: str = "auto") -> str:
     if k == 0 or not row_ok.any():
         texts = ["" for _ in range(n_rows * n_cols)]
     else:
-        ys = (r_arr[:, None] + 1 + font.PAD) + np.arange(font.GLYPH_H)[None, :]  # (R,7)
-        xs = (
+        base_ys = (r_arr[:, None] + 1 + font.PAD) + np.arange(font.GLYPH_H)[None, :]  # (R,7)
+        base_xs = (
             (c_arr[:, None, None] + 1 + font.PAD)
             + np.arange(k)[None, :, None] * font.ADVANCE
             + np.arange(font.GLYPH_W)[None, None, :]
         )  # (C,K,5)
-        # masked-out slots may index past the image on ragged grids —
-        # clip (gathered value irrelevant, overwritten below)
-        np.clip(ys, 0, h - 1, out=ys)
-        np.clip(xs, 0, w - 1, out=xs)
-        slots = mask[
-            ys[:, None, None, :, None], xs[None, :, :, None, :]
-        ]  # (R,C,K,7,5)
-        flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.int32)
-        t = font._FLAT.astype(np.int32)  # (T,35)
-        d = flat.sum(axis=1)[:, None] + t.sum(axis=1)[None, :] - 2 * (flat @ t.T)
-        idx = np.argmin(d, axis=1).reshape(n_rows, n_cols, k)
         # decode_cell's break conditions as a mask: slot k exists iff it
         # fits the column's width AND the row fits a glyph vertically
         valid = row_ok[:, None, None] & (
             np.arange(k)[None, None, :] < k_per_col[None, :, None]
         )  # (R,C,K)
-        idx = np.where(valid, idx, 0).reshape(n_rows * n_cols, k)
+        t = font._FLAT.astype(np.int32)  # (T,35)
+        if offset_search:
+            # centered-first order: argmin's first-wins tie-break then
+            # resolves toward the unshifted grid
+            offsets = sorted(
+                ((dy, dx) for dy in (-2, -1, 0, 1, 2) for dx in (-2, -1, 0, 1, 2)),
+                key=lambda p: (abs(p[0]) + abs(p[1]), p),
+            )
+        else:
+            offsets = [(0, 0)]
+        n_cells = n_rows * n_cols
+        n_off = len(offsets)
+        valid_ck = valid.reshape(n_cells, k)
+        offs = np.asarray(offsets, dtype=np.int64)  # (O,2)
+        # ALL offsets in one gather + one matmul (a per-offset loop was
+        # overhead-bound: 25 tiny matmuls cost ~3 ms per skewed image)
+        ys = np.clip(base_ys[None, :, :] + offs[:, 0][:, None, None], 0, h - 1)  # (O,R,7)
+        xs = np.clip(
+            base_xs[None, :, :, :] + offs[:, 1][:, None, None, None], 0, w - 1
+        )  # (O,C,K,5)
+        slots = mask[
+            ys[:, :, None, None, :, None], xs[:, None, :, :, None, :]
+        ]  # (O,R,C,K,7,5)
+        flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.int32)
+        d = flat.sum(axis=1)[:, None] + t.sum(axis=1)[None, :] - 2 * (flat @ t.T)
+        mind = d.min(axis=1).reshape(n_off, n_cells, k)  # best template dist / slot
+        idx_all = np.argmin(d, axis=1).reshape(n_off, n_cells, k)
+        cell_dist = np.where(valid_ck[None, :, :], mind, 0).sum(axis=2)  # (O,cells)
+        best_off = np.argmin(cell_dist, axis=0)  # first min wins → centered
+        idx = np.where(valid_ck, idx_all[best_off, np.arange(n_cells), :], 0)
         # byte LUT: template index → ASCII char, NUL for blank, stripped
         lut = np.frombuffer(b"\x00" + font.ALPHABET.encode("ascii"), dtype=np.uint8)
         cell_bytes = lut[idx]  # (cells, k) uint8

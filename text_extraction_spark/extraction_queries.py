@@ -27,7 +27,7 @@ from .relational import t
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
-_CORPUS_VERSION = "v3"  # v3: dup-offset ties + PDF media + RGB color media
+_CORPUS_VERSION = "v4"  # v4: + skewed-scan media (deskew path live)
 _CORPUS_DOCS = 250
 
 
