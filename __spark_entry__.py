@@ -122,7 +122,11 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLES)
     out.update(extraction_queries.ORACLES)
     out.update(dataops.ORACLES)
-    # lazily-built oracle: embeds the generated corpus path (x08 — PDF
-    # extraction checked against generation-time truth)
+    # lazily-built oracles (they embed the generated corpus path):
+    # x08 — PDF extraction vs generation-time truth; x03/x06 — the
+    # distributed pipeline/media path vs the single-process oracle's
+    # own persisted outputs (golden / media_golden parquet)
     out["x08_pdf_text_extraction"] = extraction_queries.pdf_oracle_sql()
+    out["x03_extract_corpus_pipeline"] = extraction_queries.x03_oracle_sql()
+    out["x06_media_table_ocr"] = extraction_queries.x06_oracle_sql()
     return out

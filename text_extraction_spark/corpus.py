@@ -368,6 +368,28 @@ def write_corpus_parquet(out_dir: str, n_docs: int, with_golden: bool = True) ->
     )
 
     stats = {"n_docs": len(docs), "n_media": len(media)}
+    if with_golden:
+        # Per-media single-process oracle outputs (media_ref → extracted
+        # text, NULL = dropped): lets the driver VALUE-check the
+        # standalone media query (x06) against the same oracle the
+        # pipeline gate uses — DuckDB reads this parquet while Spark
+        # re-extracts from the raw bytes.
+        from .reference_impl import extract_span
+
+        lookup_all = {m.media_ref: m for m in media}
+        rows = []
+        for m in media:
+            out = extract_span("media", None, m.media_ref, lookup_all)
+            rows.append(out["text"] if out is not None else None)
+        pq.write_table(
+            pa.table(
+                {
+                    "media_ref": pa.array([m.media_ref for m in media], pa.string()),
+                    "table_text": pa.array(rows, pa.string()),
+                }
+            ),
+            os.path.join(out_dir, "media_golden.parquet"),
+        )
     # PDF generation-time truth (A20): PDF parsing is lossless (unlike
     # the noisy-image OCR path), so expected_text doubles as a value
     # ORACLE — the driver's DuckDB side reads this parquet while Spark

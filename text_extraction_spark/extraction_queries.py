@@ -27,7 +27,7 @@ from .relational import t
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
-_CORPUS_VERSION = "v4"  # v4: + skewed-scan media (deskew path live)
+_CORPUS_VERSION = "v5"  # v5: + media_golden.parquet (x03/x06 value oracles)
 _CORPUS_DOCS = 250
 
 
@@ -125,10 +125,13 @@ def _run_pipeline(spark: SparkSession) -> str:
     return out
 
 
-@q("x03_extract_corpus_pipeline")  # ⊘ rows-only
+@q("x03_extract_corpus_pipeline")  # oracle registered lazily (golden parquet)
 def x03(spark, sf):
-    """Full A1–A19 pipeline over the interleaved corpus; returns the
-    extracted doc-level table (doc_id, n_spans, n_media, n_text)."""
+    """Full A1–A20 pipeline over the interleaved corpus; returns the
+    extracted doc-level table (doc_id, n_spans, n_media, n_text).
+    VALUE-oracled (round 2): DuckDB computes the same shape counts from
+    golden.parquet — the single-process oracle's own output — so a hash
+    match proves the distributed pipeline reproduced the golden table."""
     out = _run_pipeline(spark)
     e = spark.read.parquet(os.path.join(out, "extracted"))
     return e.select(
@@ -137,6 +140,15 @@ def x03(spark, sf):
         F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
         F.size(F.filter("spans", lambda s: s["kind"] == "text")).alias("n_text"),
     )
+
+
+def x03_oracle_sql() -> str:
+    """Lazy (embeds the generated corpus path)."""
+    return f"""
+SELECT doc_id, CAST(len(spans) AS INT) AS n_spans,
+       CAST(len(list_filter(spans, s -> s.kind = 'media')) AS INT) AS n_media,
+       CAST(len(list_filter(spans, s -> s.kind = 'text')) AS INT) AS n_text
+FROM read_parquet('{corpus_dir()}/golden.parquet')"""
 
 
 @q("x04_golden_equality_mismatches")  # ⊘ rows-only; correct row-count is 0
@@ -158,22 +170,28 @@ def x05(spark, sf):
     return spark.read.parquet(os.path.join(out, "metrics"))
 
 
-@q("x06_media_table_ocr")  # ⊘ rows-only
+@q("x06_media_table_ocr")  # oracle registered lazily (media_golden parquet)
 def x06(spark, sf):
-    """A7–A13 media path standalone: decode + table OCR over the image
-    store (media_ref, n_rows, n_cols, table_text)."""
+    """A7–A13 (+A20 pdf, +skew/region fallbacks) media path standalone:
+    the fused media UDF over the WHOLE media store → (media_ref,
+    table_text), NULL = dropped. VALUE-oracled (round 2): DuckDB reads
+    media_golden.parquet — the single-process oracle's per-media outputs
+    — so a hash match proves the distributed extraction is bit-equal for
+    every media kind (raw/png/color/pdf/embedded/skewed)."""
     from .pipeline import extract_media_udf
 
     m = spark.read.parquet(os.path.join(corpus_dir(), "media.parquet"))
-    out = m.select(
+    return m.select(
         "media_ref",
         extract_media_udf("width", "height", "fmt", "data").alias("table_text"),
     )
-    return out.select(
-        "media_ref",
-        (F.size(F.split("table_text", "\n"))).alias("n_rows"),
-        (F.size(F.split(F.split("table_text", "\n").getItem(0), r"\|"))).alias("n_cols"),
-        "table_text",
+
+
+def x06_oracle_sql() -> str:
+    """Lazy (embeds the generated corpus path)."""
+    return (
+        "SELECT media_ref, table_text "
+        f"FROM read_parquet('{corpus_dir()}/media_golden.parquet')"
     )
 
 
