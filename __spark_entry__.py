@@ -3,9 +3,9 @@
 entry(spark)   — flagship: the fused extraction UDF chain + relational
                  aggregation over sf0.001 testdata.
 queries()      — every implemented operator from SURVEY.md §2:
-                 Q1–Q32 relational plane (relational.py), extraction
-                 plane A1–A19 (extraction_queries.py), and the
-                 training-data ops plane (dataops.py).
+                 Q1–Q40 relational plane (relational.py), extraction
+                 plane A1–A20 / x01–x08 (extraction_queries.py), and
+                 the training-data ops plane d01–d17 (dataops.py).
 oracle_sql()   — matching DuckDB SQL for every SQL-expressible query;
                  entries without one are rows-only by design
                  (approximate sketches, streaming semantics, full

@@ -132,3 +132,45 @@ def test_binned_range_join_avoids_nested_loop(spark):
     # the round-1 trailing distinct() was a redundant full shuffle
     post_join = plan.split("Join", 1)[0]  # text ABOVE the topmost join
     assert "HashAggregate" not in post_join and "Exchange" not in post_join
+
+
+def test_pii_scrub_is_pure_jvm(spark):
+    """d16 must stay whole-stage-codegen JVM work — a Python node here
+    would put regex redaction on the slow path at 100 TB."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops.QUERIES["d16_pii_scrub"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # row-local: scan → project, no shuffle
+
+
+def test_paragraph_dedup_single_shuffle_no_join(spark):
+    """d17: explode + hash groupBy — exactly one exchange, never a
+    self-join."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops.QUERIES["d17_paragraph_dedup"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # shuffle + possible AQE read node
+
+
+def test_ann_paths_never_nested_loop(spark):
+    """d06 (LSH) and d15 (IVF): candidate generation must stay equi-join
+    bucket work — a BroadcastNestedLoop/Cartesian anywhere means the
+    plan silently degraded to corpus²."""
+    from text_extraction_spark import dataops
+
+    for name in ("d06_ann_lsh_bucketed", "d15_ann_ivf"):
+        plan = _plan(dataops.QUERIES[name](spark, SF))
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_media_ocr_query_no_shuffle(spark):
+    """x06: the media extraction query is scan → UDF project — image
+    bytes must never cross an Exchange."""
+    from text_extraction_spark import extraction_queries
+
+    plan = _plan(extraction_queries.QUERIES["x06_media_table_ocr"](spark, SF))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
