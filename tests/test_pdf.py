@@ -147,3 +147,53 @@ def test_pdf_udf_matches_expected_on_spark(spark, tiny_corpus):
         | (F.col("t") != F.col("expected_text"))
     ).count()
     assert mismatches == 0
+
+
+def test_property_roundtrip_arbitrary_text():
+    """Hypothesis: ANY printable-latin-1 line content (incl. parens,
+    backslashes, digits-only 'numbers', operator-lookalike words)
+    survives the writer→reader roundtrip for every operator variant."""
+    from hypothesis import given, settings, strategies as st
+
+    line = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                               blacklist_characters="­"),
+        min_size=1, max_size=60,
+    ).map(lambda s: " ".join(s.split()) or "x")  # writer contract: no
+    # newlines / leading-trailing runs of whitespace inside a line
+    pages_st = st.lists(
+        st.lists(line, min_size=1, max_size=4), min_size=1, max_size=2
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(pages=pages_st,
+           variant=st.sampled_from(("td", "tstar", "tm", "quote")),
+           compress=st.booleans())
+    def run(pages, variant, compress):
+        pdf = encode_pdf(pages, compress=compress, variant=variant)
+        assert extract_pdf_text(pdf) == "\n".join("\n".join(p) for p in pages)
+
+    run()
+
+
+def test_property_roundtrip_kerned_tj():
+    """tj_kerned splits on single spaces — property-tested separately
+    with space-separated word content."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=255,
+                               blacklist_characters="­"),
+        min_size=1, max_size=12,
+    )
+    line = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=40, deadline=None)
+    @given(pages=st.lists(st.lists(line, min_size=1, max_size=3),
+                          min_size=1, max_size=2),
+           compress=st.booleans())
+    def run(pages, compress):
+        pdf = encode_pdf(pages, compress=compress, variant="tj_kerned")
+        assert extract_pdf_text(pdf) == "\n".join("\n".join(p) for p in pages)
+
+    run()
