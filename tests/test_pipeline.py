@@ -204,3 +204,18 @@ def test_sql_extraction_functions(spark, tiny_corpus):
         ") WHERE s.kind = 'text' AND tes_extract_main(s.text) IS NOT NULL"
     ).first()["n"]
     assert kept > 0
+
+    # dataops UDFs on the same SQL surface: SimHash/MinHash over the
+    # corpus text spans, equal to calling the UDF objects directly
+    r = spark.sql(
+        "SELECT tes_simhash('the quick brown fox') AS sh, "
+        "       tes_minhash('the quick brown fox jumps high') AS mh"
+    ).first()
+    import pandas as pd
+
+    from text_extraction_spark.dataops import minhash_sig_udf, simhash_udf
+
+    assert r["sh"] == int(simhash_udf.func(pd.Series(["the quick brown fox"]))[0])
+    assert list(r["mh"]) == list(
+        minhash_sig_udf.func(pd.Series(["the quick brown fox jumps high"]))[0]
+    )

@@ -67,12 +67,18 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def register_extraction_functions(spark: SparkSession) -> None:
-    """Expose the extraction UDFs to SQL users:
-        SELECT tes_extract_main(text)            -- A5+A6+A14 text path
-        SELECT tes_extract_table(w, h, fmt, data) -- A7–A13 media path
-    The same fused Arrow UDFs the pipeline uses — one registration, any
-    SQL surface (spark.sql, thrift, notebooks)."""
+    """Expose the extraction + dataops UDFs to SQL users:
+        SELECT tes_extract_main(text)             -- A5+A6+A14 text path
+        SELECT tes_extract_table(w, h, fmt, data) -- A7–A13 + A20 media
+                                                  -- (images AND PDFs)
+        SELECT tes_simhash(text)                  -- d03 64-bit SimHash
+        SELECT tes_minhash(text)                  -- d02 MinHash signature
+    The same fused Arrow UDFs the pipeline/queries use — one
+    registration, any SQL surface (spark.sql, thrift, notebooks)."""
+    from .dataops import minhash_sig_udf, simhash_udf
     from .pipeline import extract_media_udf, extract_text_udf
 
     spark.udf.register("tes_extract_main", extract_text_udf)
     spark.udf.register("tes_extract_table", extract_media_udf)
+    spark.udf.register("tes_simhash", simhash_udf)
+    spark.udf.register("tes_minhash", minhash_sig_udf)
