@@ -873,3 +873,35 @@ def d17(spark, sf):
         .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+_SAMPLE_SQL = """
+WITH s AS (
+  SELECT lang, doc_id, text
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+)
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM s GROUP BY lang
+"""
+
+
+@q("d18_stratified_sample", _SAMPLE_SQL)
+def d18(spark, sf):
+    """Deterministic content-addressed sampling — the training-data
+    curation primitive (down-sample a source/language to a target rate,
+    REPRODUCIBLY: the same doc is in or out on every run, every engine,
+    any cluster size). Rate = 3/16 via the first md5 nibble of doc_id;
+    md5 is the one hash Spark and DuckDB compute identically, so the
+    oracle value-checks membership, not just counts. Pure JVM, no
+    shuffle before the aggregation."""
+    d = t(spark, sf, "documents")
+    s = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum(F.length("text")).alias("chars"),
+    )
