@@ -128,3 +128,16 @@ def test_extract_doc_orders_by_offset_not_input_order():
     ]
     out = extract_doc(spans, {})
     assert [s["text"].split()[0] for s in out] == ["a", "b"]
+
+
+def test_parallel_generation_identical_to_serial():
+    """gen_corpus must be byte-identical at any worker count (every
+    doc/media is a pure function of its id; chunks reassemble in
+    order) — the parallel path exists so a cold 60k-doc bench-corpus
+    regeneration doesn't look like a driver hang."""
+    d1, m1 = corpus.gen_corpus(60, workers=1)
+    d2, m2 = corpus.gen_corpus(60, workers=4)
+    assert [d.spans for d in d1] == [d.spans for d in d2]
+    assert [(m.media_ref, m.fmt, m.data) for m in m1] == [
+        (m.media_ref, m.fmt, m.data) for m in m2
+    ]

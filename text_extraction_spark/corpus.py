@@ -14,6 +14,7 @@ would break determinism) — ids are hashed with sha256.
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -303,14 +304,44 @@ def gen_doc(doc_index: int) -> Doc:
     return doc
 
 
-def gen_corpus(n_docs: int) -> tuple[list[Doc], list[Media]]:
-    docs = [gen_doc(i) for i in range(n_docs)]
-    media = [
-        gen_media(s["media_ref"])
-        for d in docs
-        for s in d.spans
-        if s["kind"] == "media"
-    ]
+def _gen_doc_chunk(args: tuple[int, int]) -> list[Doc]:
+    lo, hi = args
+    return [gen_doc(i) for i in range(lo, hi)]
+
+
+def _gen_media_chunk(refs: list[str]) -> list[Media]:
+    return [gen_media(r) for r in refs]
+
+
+def gen_corpus(n_docs: int, workers: int | None = None) -> tuple[list[Doc], list[Media]]:
+    """Generate the corpus, optionally in parallel: every doc/media is a
+    pure function of its id, so chunks generate independently and are
+    reassembled IN ORDER — output is byte-identical at any worker count
+    (asserted in tests). Parallelism matters operationally: a cold
+    fixture cache regenerates the 60k-doc bench corpus inside the
+    driver's bench run, and ~6 single-threaded minutes there would look
+    like a hang."""
+    if workers is None:
+        workers = min(16, os.cpu_count() or 1) if n_docs >= 5000 else 1
+    if workers <= 1:
+        docs = [gen_doc(i) for i in range(n_docs)]
+        media = [
+            gen_media(s["media_ref"])
+            for d in docs
+            for s in d.spans
+            if s["kind"] == "media"
+        ]
+        return docs, media
+    from concurrent.futures import ProcessPoolExecutor
+
+    step = max(1, -(-n_docs // (workers * 4)))  # 4 chunks per worker
+    doc_chunks = [(lo, min(lo + step, n_docs)) for lo in range(0, n_docs, step)]
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        docs = [d for chunk in ex.map(_gen_doc_chunk, doc_chunks) for d in chunk]
+        refs = [s["media_ref"] for d in docs for s in d.spans if s["kind"] == "media"]
+        rstep = max(1, -(-len(refs) // (workers * 4)))
+        ref_chunks = [refs[i : i + rstep] for i in range(0, len(refs), rstep)]
+        media = [m for chunk in ex.map(_gen_media_chunk, ref_chunks) for m in chunk]
     return docs, media
 
 
