@@ -64,10 +64,14 @@ HEADLINE = [
 
 def _bench_corpus() -> str:
     """Pre-generate (cached, untimed) the interleaved bench corpus under
-    the ownership-verified per-user cache dir (conf.cache_root)."""
+    the ownership-verified per-user cache dir (conf.cache_root). The
+    cache key shares extraction_queries._CORPUS_VERSION so a generator
+    change can never serve a stale bench corpus; a cold regeneration is
+    ~40 s (gen_corpus parallelizes across processes)."""
     from text_extraction_spark.conf import cache_root
+    from text_extraction_spark.extraction_queries import _CORPUS_VERSION
 
-    d = os.path.join(cache_root(), f"bench_corpus_v4_{BENCH_DOCS}")
+    d = os.path.join(cache_root(), f"bench_corpus_{_CORPUS_VERSION}_{BENCH_DOCS}")
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         from text_extraction_spark.corpus import write_corpus_parquet
