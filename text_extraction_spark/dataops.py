@@ -905,3 +905,102 @@ def d18(spark, sf):
         F.min("doc_id").alias("min_doc"),
         F.sum(F.length("text")).alias("chars"),
     )
+
+
+def _connected_components(edges, max_iter: int = 25):
+    """Distributed connected components over an (a, b) edge DataFrame →
+    (id, component) with component = min doc id reachable. Iterative
+    min-label propagation: each round every vertex takes the minimum
+    label among itself and its neighbors; converges in O(diameter)
+    rounds, checked by an exact changed-count (never run blind).
+    localCheckpoint() per round truncates the lineage — without it each
+    iteration's plan nests the previous one and planning time explodes.
+    At 100 TB: this is the textbook shape; diameter-halving variants
+    (large-star/small-star) drop the round count to O(log n) with the
+    same per-round join structure."""
+    bidir = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .unionByName(edges.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(labels, bidir.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "id")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+_CC_SQL = """
+WITH edges AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b
+  FROM documents d1 JOIN documents d2
+    ON d2.doc_id = d1.doc_id + 1 AND d2.lang = d1.lang
+  WHERE CAST(len(list_intersect(list_distinct(string_split(d1.text,' ')),
+                                list_distinct(string_split(d2.text,' ')))) AS DOUBLE)
+        / len(list_distinct(list_concat(string_split(d1.text,' '), string_split(d2.text,' ')))) >= 0.4
+),
+verts AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+bidir AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+cc AS (
+  WITH RECURSIVE r(id, label) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.a, r.label FROM r JOIN bidir e ON e.b = r.id WHERE r.label < e.a
+  )
+  SELECT id, min(label) AS component FROM r GROUP BY id
+)
+SELECT component, count(*) AS n_docs, min(id) AS min_doc
+FROM cc GROUP BY component
+"""
+
+
+@q("d19_dedup_components", _CC_SQL)
+def d19(spark, sf):
+    """The dedup DECISION step: near-dup candidate pairs → connected
+    COMPONENTS (dedup groups keep one representative per component —
+    pairs alone can't dedup transitive chains a~b~c). Edges here are a
+    deterministic SQL-expressible candidate set (adjacent same-lang docs
+    with word-Jaccard ≥ 0.4, chains up to length 5 in the testdata) so
+    DuckDB's recursive CTE can verify the DISTRIBUTED iterative
+    min-label propagation end-to-end — in production the same
+    _connected_components runs on d02/d13's LSH candidate pairs."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    d1 = d.select(F.col("doc_id").alias("a"), F.col("lang").alias("l1"), F.col("words").alias("wa"))
+    d2 = d.select(F.col("doc_id").alias("b"), F.col("lang").alias("l2"), F.col("words").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size(F.array_distinct(F.concat("wa", "wb")))
+    edges = (
+        d1.join(d2, (F.col("b") == F.col("a") + 1) & (F.col("l1") == F.col("l2")))
+        .filter(inter.cast("double") / union >= 0.4)
+        .select("a", "b")
+    )
+    cc = _connected_components(edges)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("min_doc")
+    )

@@ -908,3 +908,54 @@ def q40(spark, sf):
         )
         .select("id_a", "id_b", F.round(F.abs(F.col("va") - F.col("vb")), 4).alias("dv"))
     )
+
+
+@q(
+    "q41_range_interval_window",
+    """SELECT event_id, user_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+                AS hour_sum,
+              CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS hour_cnt
+       FROM events""",
+)
+def q41(spark, sf):
+    """Time-RANGE window frame (not ROWS): per event, aggregate over the
+    trailing hour of the same user's events — range frames include every
+    tie, which rows-frames can't express. Spark's rangeBetween works on
+    the numeric ORDER BY key, so ts goes through unix seconds; DuckDB
+    uses the INTERVAL form directly — identical frame semantics."""
+    e = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_cnt"),
+    )
+
+
+@q(
+    "q42_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q42(spark, sf):
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE are sugar
+    for): per-flag totals, per-status totals, and the grand total in one
+    pass — one shuffle, the expand operator fans rows per set."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("tes_li_q42")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+           FROM tes_li_q42
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
