@@ -117,3 +117,20 @@ def test_approx_count_distinct_within_bound(spark):
     for k in exact:
         rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel_err <= 0.05, (k, approx[k], exact[k])
+
+
+def test_full_dedup_pipeline_keep_semantics(spark):
+    """d20 (LSH candidates → exact verify → components → keep-list):
+    exactly ONE keeper per component and it is the component's min
+    doc_id; deterministic across runs."""
+    rows = dataops.QUERIES["d20_dedup_pipeline"](spark, SF).collect()
+    assert rows, "no duplicate components found at sf0.001"
+    comps: dict = {}
+    for r in rows:
+        comps.setdefault(r.component, []).append((r.doc_id, r.keep))
+    for c, members in comps.items():
+        keepers = [d for d, k in members if k]
+        assert len(keepers) == 1
+        assert keepers[0] == min(d for d, _ in members) == c
+    rows2 = dataops.QUERIES["d20_dedup_pipeline"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

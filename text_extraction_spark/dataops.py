@@ -1004,3 +1004,33 @@ def d19(spark, sf):
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("min_doc")
     )
+
+
+@q("d20_dedup_pipeline")  # ⊘ rows-only (LSH hash family not SQL-expressible)
+def d20(spark, sf):
+    """The COMPLETE corpus-dedup pipeline as one call — what a user runs
+    to dedup a 100 TB corpus: MinHash+LSH candidates (d02, skew-capped)
+    → exact JVM word-Jaccard verification ≥ 0.5 (d13's verify stage) →
+    connected components (d19's iterative min-label propagation) →
+    per-component keep decision. Returns (doc_id, component, keep):
+    keep = the component's min doc_id survives, the rest are the dedup
+    DROP list. Every stage is bucketed/linear; the only iteration is
+    the O(diameter) component loop."""
+    pairs = d02(spark, sf)
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    verified = j.filter(inter.cast("double") / union >= 0.5).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    cc = _connected_components(verified)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
