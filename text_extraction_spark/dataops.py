@@ -1034,3 +1034,162 @@ def d20(spark, sf):
         "component",
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------- audio / video
+
+# Deterministic AV fixture store (no audio/video in the driver testdata;
+# raw PCM and raw frame stacks need NO codec — numpy decodes them — so
+# the full decode → feature path is REAL, not stubbed).
+_AV_CLIPS = 240
+_AV_RATE = 8000  # Hz, mono s16le
+_AV_FPS = 4
+_AV_W, _AV_H = 32, 24
+
+
+def _gen_av_clip(i: int):
+    """One audio clip + one tiny video clip, pure functions of i."""
+    from .corpus import _rng
+
+    rng = _rng("av", i)
+    # audio: sum of 1-3 sine tones + noise, 0.5-2.0 s, s16le mono
+    dur = float(rng.uniform(0.5, 2.0))
+    n = int(_AV_RATE * dur)
+    t = np.arange(n) / _AV_RATE
+    wave = np.zeros(n)
+    for _ in range(int(rng.integers(1, 4))):
+        wave += float(rng.uniform(0.2, 0.5)) * np.sin(
+            2 * np.pi * float(rng.uniform(100, 1500)) * t + float(rng.uniform(0, 6.28))
+        )
+    wave += rng.normal(0, 0.02, n)
+    pcm = np.clip(wave * 16384, -32768, 32767).astype("<i2")
+    # video: 8-24 frames of moving-gradient RGB
+    n_frames = int(rng.integers(8, 25))
+    ys, xs = np.mgrid[0:_AV_H, 0:_AV_W]
+    frames = np.stack(
+        [
+            ((xs * 3 + ys * 2 + f * 11) % 256).astype(np.uint8)
+            for f in range(n_frames)
+        ]
+    )
+    rgb = np.repeat(frames[:, :, :, None], 3, axis=3)  # (F,H,W,3)
+    return (
+        f"clip-{i:05d}",
+        pcm.tobytes(),
+        n,
+        round(dur, 4),
+        rgb.tobytes(),
+        n_frames,
+    )
+
+
+def av_store_dir() -> str:
+    """Deterministic audio/video parquet store under the per-user cache
+    (same pattern as the extraction corpus)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conf import cache_root
+
+    d = os.path.join(cache_root(), f"av_store_v1_{_AV_CLIPS}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        rows = [_gen_av_clip(i) for i in range(_AV_CLIPS)]
+        tbl = pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                "audio_pcm_s16le": pa.array([r[1] for r in rows], pa.binary()),
+                "audio_rate_hz": pa.array([_AV_RATE] * len(rows), pa.int32()),
+                "audio_samples": pa.array([r[2] for r in rows], pa.int32()),
+                "video_rgb24": pa.array([r[4] for r in rows], pa.binary()),
+                "video_fps": pa.array([_AV_FPS] * len(rows), pa.int32()),
+                "video_frames": pa.array([r[5] for r in rows], pa.int32()),
+                "video_w": pa.array([_AV_W] * len(rows), pa.int32()),
+                "video_h": pa.array([_AV_H] * len(rows), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, "av.parquet"), row_group_size=32)
+        open(marker, "w").write("ok")
+    return d
+
+
+@q("d21_audio_features")  # ⊘ rows-only (own AV store; features pinned in tests)
+def d21(spark, sf):
+    """Audio feature extraction over opaque binary PCM columns: decode
+    (np.frombuffer — raw PCM needs no codec), RMS energy, zero-crossing
+    rate, duration — one Arrow batch per crossing, the exact plumbing a
+    real featurizer (fbank/wav2vec) drops into. Clips never shuffle:
+    the UDF runs at scan partitioning like the image/PDF path."""
+    import os
+
+    from pyspark.sql.types import DoubleType, StructType, StructField
+
+    schema = StructType(
+        [
+            StructField("rms", DoubleType()),
+            StructField("zcr", DoubleType()),
+            StructField("duration_s", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def feats(pcm: pd.Series, rate: pd.Series) -> pd.DataFrame:
+        out = []
+        for i in range(len(pcm)):
+            x = np.frombuffer(pcm.iat[i], dtype="<i2").astype(np.float64) / 32768.0
+            if x.size == 0:
+                out.append({"rms": 0.0, "zcr": 0.0, "duration_s": 0.0})
+                continue
+            out.append(
+                {
+                    "rms": round(float(np.sqrt(np.mean(x * x))), 6),
+                    "zcr": round(float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:]))), 6),
+                    "duration_s": round(x.size / int(rate.iat[i]), 4),
+                }
+            )
+        return pd.DataFrame(out)
+
+    av = spark.read.parquet(os.path.join(av_store_dir(), "av.parquet"))
+    f = av.select("clip_id", feats("audio_pcm_s16le", "audio_rate_hz").alias("f"))
+    return f.select(
+        "clip_id", F.col("f.rms").alias("rms"), F.col("f.zcr").alias("zcr"),
+        F.col("f.duration_s").alias("duration_s"),
+    )
+
+
+@q("d22_video_frame_sample")  # ⊘ rows-only (own AV store; pinned in tests)
+def d22(spark, sf):
+    """Video frame sampling over opaque raw-RGB24 frame stacks: decode
+    (frombuffer reshape — raw frames need no codec), keep every
+    fps-th frame, per-sampled-frame integer luma mean. mapInPandas
+    iterator form: one clip row fans out to one row per SAMPLED frame
+    without materializing all frames as Spark rows first — the batch
+    shape a real codec/vision featurizer plugs into."""
+    import os
+
+    def sample(batches):
+        for pdf in batches:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                h, w, nf = int(r.video_h), int(r.video_w), int(r.video_frames)
+                frames = np.frombuffer(r.video_rgb24, dtype=np.uint8).reshape(
+                    nf, h, w, 3
+                )
+                step = max(int(r.video_fps), 1)
+                for fi in range(0, nf, step):
+                    fr = frames[fi].astype(np.int64)
+                    luma = (77 * fr[:, :, 0] + 150 * fr[:, :, 1] + 29 * fr[:, :, 2]) >> 8
+                    out_rows.append(
+                        {
+                            "clip_id": r.clip_id,
+                            "frame_idx": fi,
+                            "mean_luma": round(float(luma.mean()), 4),
+                        }
+                    )
+            yield pd.DataFrame(out_rows, columns=["clip_id", "frame_idx", "mean_luma"])
+
+    av = spark.read.parquet(os.path.join(av_store_dir(), "av.parquet"))
+    return av.mapInPandas(sample, "clip_id string, frame_idx int, mean_luma double")
