@@ -61,8 +61,13 @@ def d01(spark, sf):
     )
 
 
-_MINHASH_PERMS = 16
-_MINHASH_BANDS = 4  # 4 rows per band
+# 128 perms in 32 bands of 4 rows: S-curve threshold (1/32)^(1/4) ≈ 0.42,
+# theoretical candidate recall 1-(1-j⁴)³² ≈ 0.87 at shingle-Jaccard 0.5 and
+# ≈ 0.99 at 0.6 — matched to d13/d20's verify-at-0.5 stage. (Round-2 ran
+# 16 perms / 4 bands, threshold ≈ 0.71: recall at 0.5 was ~0.23 in theory
+# and ~0 measured — the gate test pinned in round 3 caught it.)
+_MINHASH_PERMS = 128
+_MINHASH_BANDS = 32  # 4 rows per band
 
 
 @F.pandas_udf(ArrayType(LongType()))
@@ -130,9 +135,14 @@ def d02(spark, sf):
     band explode multiplies rows by n_bands (4×) before ONE shuffle;
     oversized buckets degrade to star pairs (_LSH_BUCKET_CAP) so no
     single hot key can go quadratic."""
-    d = t(spark, sf, "documents").select(
-        "doc_id", minhash_sig_udf("text").alias("sig")
-    )
+    return minhash_candidates(t(spark, sf, "documents"))
+
+
+def minhash_candidates(docs) -> "F.DataFrame":
+    """MinHash+LSH candidate pairs over any (doc_id, text) DataFrame —
+    the reusable core of d02, exposed so the recall-gate test can drive
+    it on a controlled near-dup fixture."""
+    d = docs.select("doc_id", minhash_sig_udf("text").alias("sig"))
     rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
     bands = d.select(
         "doc_id",
@@ -193,7 +203,13 @@ def d03(spark, sf):
     instead of one. Each block join is an equi join bounded by bucket
     occupancy; duplicate pair hits across blocks collapse in one
     distinct. Still never corpus²."""
-    d = t(spark, sf, "documents").select("doc_id", simhash_udf("text").alias("sig"))
+    return simhash_candidates(t(spark, sf, "documents"))
+
+
+def simhash_candidates(docs) -> "F.DataFrame":
+    """SimHash block-bucketed candidate pairs over any (doc_id, text)
+    DataFrame — the reusable core of d03, exposed for the recall gate."""
+    d = docs.select("doc_id", simhash_udf("text").alias("sig"))
     b = d.select(
         "doc_id",
         "sig",
