@@ -223,3 +223,36 @@ def test_fuzz_never_raises_and_deterministic():
             data = base[: int(rng.integers(1, len(base)))]
         a = _extract_one_media(612, 792, "pdf", data)
         assert a == _extract_one_media(612, 792, "pdf", data)
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    """Round-3 (ADVICE): `/Length 9 0 R` is an INDIRECT reference —
+    treating the 9 as a literal byte count truncates the stream. The
+    scanner must reject the indirect form and recover the full stream
+    via the endstream scan."""
+    raw = b"BT /F1 12 Tf 72 720 Td (indirect length works) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Length 9 0 R >>\nstream\n" + raw +
+        b"\nendstream\nendobj\n"
+        b"9 0 obj\n" + str(len(raw)).encode() + b"\nendobj\n"
+    )
+    assert extract_pdf_text(pdf) == "indirect length works"
+
+
+def test_split_contents_spanning_text_state():
+    """Round-3 (ADVICE): a page's split /Contents array is ONE logical
+    content stream (ISO 32000-1 §7.8.2) — here the text object OPENS in
+    stream A and the second show + ET live in stream B, and a TJ array
+    even spans the boundary. Per-stream tokenization (round 2) lost the
+    second run."""
+    s1 = b"BT /F1 12 Tf 72 720 Td (first ) Tj"
+    s2 = b"0 -14 TD (second) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents [2 0 R 3 0 R] >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(s1)).encode() + b" >>\nstream\n" + s1 +
+        b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Length " + str(len(s2)).encode() + b" >>\nstream\n" + s2 +
+        b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(pdf) == "first \nsecond"

@@ -67,11 +67,14 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         if sm:
             head = body[: sm.start()]
             rest = body[sm.end() :]
-            lm = re.search(rb"/Length\s+(\d+)\b", head)
+            # A direct /Length is authoritative — the EOL-before-endstream
+            # heuristic would eat a real byte whenever the (binary) stream
+            # itself happens to end in \n or \r. An INDIRECT length
+            # (`/Length 12 0 R`, common in real-world writers) must NOT be
+            # read as a literal 12 (round-3 fix): the negative lookahead
+            # rejects it and we fall back to the endstream scan.
+            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b", head)
             if lm:
-                # /Length is authoritative — the EOL-before-endstream
-                # heuristic would eat a real byte whenever the (binary)
-                # stream itself happens to end in \n or \r
                 stream = rest[: int(lm.group(1))]
             else:
                 se = rest.rfind(b"endstream")
@@ -125,12 +128,17 @@ def _page_content_streams(data: bytes) -> list[bytes]:
     for pnum in ordered:
         head, _ = objs[pnum]
         crefs = _dict_value_refs(head, b"/Contents")
-        if not crefs:
-            streams.append(b"")  # page with no content
-        for cref in crefs:
-            if cref in objs and objs[cref][1] is not None:
-                chead, cstream = objs[cref]
-                streams.append(_decode_stream(chead, cstream))
+        # ISO 32000-1 §7.8.2: a split /Contents array forms ONE logical
+        # content stream — tokens and text state (Tf/TL/Td) may span the
+        # stream boundary, so decode each part and join with a whitespace
+        # byte before tokenizing (round-3 fix: per-stream tokenization
+        # broke conforming PDFs split mid-text-object).
+        parts = [
+            _decode_stream(*objs[cref])
+            for cref in crefs
+            if cref in objs and objs[cref][1] is not None
+        ]
+        streams.append(b"\n".join(parts))
     if not ordered:
         # damaged page tree: fall back to every stream that contains a
         # text block (deterministic object-number order)
