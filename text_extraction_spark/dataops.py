@@ -1201,7 +1201,12 @@ def av_store_dir() -> str:
     d = os.path.join(cache_root(), f"av_store_v1_{_AV_CLIPS}")
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
+        # Generate into a process-private temp dir and atomically rename
+        # into place (round-3 ADVICE fix): two concurrent generators can
+        # no longer interleave an in-place pq.write_table with a reader
+        # that saw the other writer's _COMPLETE marker.
+        import tempfile
+
         rows = [_gen_av_clip(i) for i in range(_AV_CLIPS)]
         tbl = pa.table(
             {
@@ -1216,8 +1221,18 @@ def av_store_dir() -> str:
                 "video_h": pa.array([_AV_H] * len(rows), pa.int32()),
             }
         )
-        pq.write_table(tbl, os.path.join(d, "av.parquet"), row_group_size=32)
-        open(marker, "w").write("ok")
+        import shutil
+
+        if os.path.isdir(d):  # stale partial store from a crashed build
+            shutil.rmtree(d, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix=".av_store_build_", dir=cache_root())
+        pq.write_table(tbl, os.path.join(tmp, "av.parquet"), row_group_size=32)
+        open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
+        try:
+            os.rename(tmp, d)  # atomic: readers see all-or-nothing
+        except OSError:
+            # a concurrent generator won the race; its store is complete
+            shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 
@@ -1277,24 +1292,27 @@ def d22(spark, sf):
 
     def sample(batches):
         for pdf in batches:
-            out_rows = []
-            for _, r in pdf.iterrows():
-                h, w, nf = int(r.video_h), int(r.video_w), int(r.video_frames)
-                frames = np.frombuffer(r.video_rgb24, dtype=np.uint8).reshape(
-                    nf, h, w, 3
-                )
-                step = max(int(r.video_fps), 1)
-                for fi in range(0, nf, step):
-                    fr = frames[fi].astype(np.int64)
-                    luma = (77 * fr[:, :, 0] + 150 * fr[:, :, 1] + 29 * fr[:, :, 2]) >> 8
-                    out_rows.append(
-                        {
-                            "clip_id": r.clip_id,
-                            "frame_idx": fi,
-                            "mean_luma": round(float(luma.mean()), 4),
-                        }
-                    )
-            yield pd.DataFrame(out_rows, columns=["clip_id", "frame_idx", "mean_luma"])
+            ids, idxs, lumas = [], [], []
+            # zip over the four needed columns (round-3: iterrows was the
+            # hot-loop bottleneck); per clip, ALL sampled frames reduce in
+            # one (k, H·W, 3) integer luma op instead of a per-frame loop.
+            for clip_id, blob, h, w, nf, fps in zip(
+                pdf["clip_id"], pdf["video_rgb24"], pdf["video_h"],
+                pdf["video_w"], pdf["video_frames"], pdf["video_fps"],
+            ):
+                h, w, nf = int(h), int(w), int(nf)
+                frames = np.frombuffer(blob, dtype=np.uint8).reshape(nf, h * w, 3)
+                sel = np.arange(0, nf, max(int(fps), 1))
+                fr = frames[sel].astype(np.int64)
+                luma = (fr @ np.array([77, 150, 29], dtype=np.int64)) >> 8
+                ids.extend([clip_id] * len(sel))
+                idxs.extend(int(i) for i in sel)
+                lumas.extend(round(float(v), 4) for v in luma.mean(axis=1))
+            yield pd.DataFrame(
+                {"clip_id": pd.Series(ids, dtype=object),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "mean_luma": pd.Series(lumas, dtype="float64")}
+            )
 
     av = spark.read.parquet(os.path.join(av_store_dir(), "av.parquet"))
     return av.mapInPandas(sample, "clip_id string, frame_idx int, mean_luma double")
