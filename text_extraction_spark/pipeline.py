@@ -556,15 +556,17 @@ def extract_corpus(
         )
         committed_now += 1
 
-    # ---- metrics (A17/A19) — derived from the span-level lineage table;
-    # small after aggregation, so collect once and reuse for the summary
+    # ---- metrics (A17/A19) — derived from the span-level lineage table.
+    # Write the DataFrame directly (round-3 fix: no collect-then-
+    # createDataFrame driver hop / 1-row schema re-infer risk); the
+    # summary total comes from one scalar agg over the same plan.
     metrics = compute_metrics(span_df, run_id)
-    metric_rows = metrics.collect()
-    spark.createDataFrame(metric_rows, schema=metrics.schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(os.path.join(out_path, "metrics"))
-
-    spans_out = sum(r["spans_out"] for r in metric_rows)
+    metrics.coalesce(1).write.mode("append").parquet(
+        os.path.join(out_path, "metrics")
+    )
+    spans_out = int(
+        metrics.agg(F.coalesce(F.sum("spans_out"), F.lit(0))).first()[0]
+    )
     if fs.exists(staging):
         fs.delete(staging)
     return {
