@@ -678,30 +678,100 @@ def d08(spark, sf):
     )
 
 
+# Seed texts for the trigram language profiles (round-3 upgrade from the
+# 8-bigram toy): function-word-dense passages written for profile
+# coverage — deterministic, embedded, no model file. The classifier is
+# Cavnar–Trenkle (1994) out-of-place rank distance over padded character
+# trigrams, the classic n-gram langid method.
+_LANGID_SEEDS = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the people who "
+        "were there said that it was not only the best thing they had "
+        "ever seen but also one of the most important things of all time "
+        "because when you think about what it means to have something "
+        "this good you will find that there is nothing else like it in "
+        "the world and everyone should know about these things before "
+        "they decide what to do with their own lives and their work"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y la gente "
+        "que estaba allí dijo que no era solamente la mejor cosa que "
+        "habían visto sino también una de las más importantes de todos "
+        "los tiempos porque cuando piensas en lo que significa tener algo "
+        "tan bueno encontrarás que no hay nada igual en el mundo y todos "
+        "deberían saber estas cosas antes de decidir qué hacer con sus "
+        "propias vidas y su trabajo cada día en la ciudad donde viven"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und die "
+        "leute die dort waren sagten dass es nicht nur das beste war was "
+        "sie je gesehen hatten sondern auch eines der wichtigsten dinge "
+        "aller zeiten denn wenn man darüber nachdenkt was es bedeutet "
+        "etwas so gutes zu haben wird man feststellen dass es nichts "
+        "vergleichbares auf der welt gibt und jeder sollte diese dinge "
+        "wissen bevor er entscheidet was er mit seinem leben machen will"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et les "
+        "gens qui étaient là ont dit que ce était pas seulement la "
+        "meilleure chose que ils aient jamais vue mais aussi une des plus "
+        "importantes de tous les temps parce que quand on pense à ce que "
+        "cela signifie de avoir quelque chose de si bien on trouvera que "
+        "il ne y a rien de comparable au monde et tout le monde devrait "
+        "savoir ces choses avant de décider quoi faire de sa propre vie"
+    ),
+}
+_LANGID_TOP = 200
+
+
+def _trigram_ranks(text: str, top: int = _LANGID_TOP) -> dict[str, int]:
+    """Top-`top` padded character trigrams of `text`, ranked by frequency
+    (ties broken lexicographically — deterministic)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for w in text.lower().split():
+        p = f" {w} "
+        counts.update(p[i : i + 3] for i in range(len(p) - 2))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return {g: r for r, (g, _c) in enumerate(ranked)}
+
+
+_LANGID_PROFILES = {lang: _trigram_ranks(seed) for lang, seed in _LANGID_SEEDS.items()}
+
+
 @F.pandas_udf(StringType())
 def langid_udf(texts: pd.Series) -> pd.Series:
-    """Character-bigram language-ID heuristic (deterministic, tiny
-    profile table; a stand-in for a fastText-style model which this env
-    lacks). Scores bigram overlap with per-language profiles."""
-    profiles = {
-        "en": {"th", "he", "in", "er", "an", "on", "re", "ed"},
-        "es": {"de", "la", "os", "el", "en", "ar", "es", "ón"},
-        "de": {"en", "er", "ch", "de", "ei", "ie", "un", "sc"},
-        "fr": {"es", "le", "de", "en", "re", "nt", "ou", "qu"},
-        "zh": set(),
-    }
+    """Cavnar–Trenkle n-gram language ID: the document's top trigram
+    ranks are compared to each language profile by out-of-place rank
+    distance (missing trigram = max penalty); CJK codepoints short-cut
+    to zh. Deterministic, profile table built from embedded seed text —
+    a stand-in for a fastText-style model (env has no model files) with
+    the real method's shape; accuracy gated on a multilingual fixture in
+    tests/test_dataops_scale.py."""
     out = []
     for s in texts:
-        s = (s or "").lower()
+        s = s or ""
         if any("一" <= ch <= "鿿" for ch in s[:200]):
             out.append("zh")
             continue
-        bigrams = {s[i : i + 2] for i in range(min(len(s), 400) - 1)}
-        best = max(
-            ((lang, len(bigrams & prof)) for lang, prof in profiles.items()),
-            key=lambda kv: (kv[1], kv[0]),
+        doc = _trigram_ranks(s[:2000])
+        if not doc:
+            out.append("en")
+            continue
+        best = min(
+            (
+                (
+                    sum(
+                        abs(r - prof[g]) if g in prof else _LANGID_TOP
+                        for g, r in doc.items()
+                    ),
+                    lang,
+                )
+                for lang, prof in _LANGID_PROFILES.items()
+            ),
         )
-        out.append(best[0])
+        out.append(best[1])
     return pd.Series(out)
 
 
