@@ -65,8 +65,10 @@ def test_rotate_mask_nn_round_trip_nearly_lossless():
 def test_skewed_extraction_floors():
     """30 skewed fixtures at 0.8–4°: every one must yield a non-empty
     grid of the RIGHT shape (round-1 behavior: all dropped), and the
-    aggregate cell accuracy must clear 0.75. Deterministic fixtures →
-    stable numbers."""
+    aggregate cell accuracy must clear 0.93 (round-3 evidence-selected
+    5-angle refinement measured 0.9707 — up from round 2's 0.78 — vs an
+    oracle-selection upper bound of 0.974 for the same angle family).
+    Deterministic fixtures → stable numbers."""
     total_cells = correct_cells = 0
     structure_ok = 0
     for i in range(30):
@@ -79,9 +81,9 @@ def test_skewed_extraction_floors():
             structure_ok += 1
             total_cells += len(e)
             correct_cells += sum(a == b for a, b in zip(g, e))
-    assert structure_ok >= 28, structure_ok
+    assert structure_ok == 30, structure_ok
     acc = correct_cells / total_cells
-    assert acc >= 0.75, acc
+    assert acc >= 0.93, acc
 
 
 def test_skewed_extraction_deterministic():

@@ -27,7 +27,8 @@ from .relational import t
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
-_CORPUS_VERSION = "v5"  # v5: + media_golden.parquet (x03/x06 value oracles)
+_CORPUS_VERSION = "v6"  # v6: 5-angle skew refinement changed skewed-media
+# golden text (v5: + media_golden.parquet for the x03/x06 value oracles)
 _CORPUS_DOCS = 250
 
 
