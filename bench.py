@@ -62,21 +62,30 @@ HEADLINE = [
 ]
 
 
-def _bench_corpus() -> str:
+def _bench_corpus(control: bool = False) -> str:
     """Pre-generate (cached, untimed) the interleaved bench corpus under
     the ownership-verified per-user cache dir (conf.cache_root). The
     cache key shares extraction_queries._CORPUS_VERSION so a generator
     change can never serve a stale bench corpus; a cold regeneration is
-    ~40 s (gen_corpus parallelizes across processes)."""
+    ~40 s (gen_corpus parallelizes across processes).
+
+    control=True generates the PINNED round-1-comparable mix (gray
+    raw/png images only — corpus.CONTROL_PROFILE) so every BENCH_rN
+    carries one throughput number whose cross-round delta is never
+    confounded by corpus-mix changes (round-3 addition, VERDICT r2)."""
     from text_extraction_spark.conf import cache_root
     from text_extraction_spark.extraction_queries import _CORPUS_VERSION
 
-    d = os.path.join(cache_root(), f"bench_corpus_{_CORPUS_VERSION}_{BENCH_DOCS}")
+    tag = "control_" if control else ""
+    d = os.path.join(cache_root(), f"bench_corpus_{tag}{_CORPUS_VERSION}_{BENCH_DOCS}")
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
-        from text_extraction_spark.corpus import write_corpus_parquet
+        from text_extraction_spark.corpus import CONTROL_PROFILE, write_corpus_parquet
 
-        write_corpus_parquet(d, BENCH_DOCS, with_golden=False)
+        write_corpus_parquet(
+            d, BENCH_DOCS, with_golden=False,
+            profile=CONTROL_PROFILE if control else None,
+        )
         open(marker, "w").write("ok")
     return d
 
@@ -145,6 +154,13 @@ def main() -> None:
     ext_low = _run_extraction(f"local[{LOW_CPUS}]", corpus, f"c{LOW_CPUS}", repeats=2)
     ext_mid = _run_extraction(f"local[{MID_CPUS}]", corpus, f"c{MID_CPUS}")
     ext_high = _run_extraction(f"local[{CPUS}]", corpus, f"c{CPUS}")
+
+    # ---- pinned cross-round CONTROL: round-1-comparable corpus (no
+    # pdf/color/embed/skew) at full parallelism — the one number that is
+    # comparable across rounds regardless of main-corpus mix changes.
+    ctl = _run_extraction(
+        f"local[{CPUS}]", _bench_corpus(control=True), f"ctl{CPUS}", repeats=2
+    )
     eff_n_4n = (ext_mid["docs_per_sec"] / ext_low["docs_per_sec"]) / (MID_CPUS / LOW_CPUS)
     eff_4n_16n = (ext_high["docs_per_sec"] / ext_mid["docs_per_sec"]) / (CPUS / MID_CPUS)
 
@@ -170,7 +186,8 @@ def main() -> None:
     total = round(
         sum(timings.values())
         + exe_1["wall_s"] + exe_4["wall_s"]
-        + ext_low["wall_s"] + ext_mid["wall_s"] + ext_high["wall_s"],
+        + ext_low["wall_s"] + ext_mid["wall_s"] + ext_high["wall_s"]
+        + ctl["wall_s"],
         3,
     )
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -189,6 +206,12 @@ def main() -> None:
                     f"extraction_{CPUS}c": ext_high["wall_s"],
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "control": {
+                    "corpus": "round-1-comparable (gray images only, no pdf/color/embed/skew)",
+                    "docs": ctl["docs"],
+                    f"docs_per_sec_{CPUS}c": ctl["docs_per_sec"],
+                    "wall_s": ctl["wall_s"],
+                },
                 "extraction": {
                     "bench_docs": ext_high["docs"],
                     f"docs_per_sec_{LOW_CPUS}c": ext_low["docs_per_sec"],

@@ -205,27 +205,44 @@ def gen_pdf_media(media_ref: str) -> Media:
     return Media(media_ref, 612, 792, "pdf", data, expected)
 
 
-def is_skewed_media(media_ref: str) -> bool:
+# Media composition profile: the fraction knobs gen_media draws against.
+# CONTROL_PROFILE regenerates the ROUND-1-comparable mix (gray raw/png
+# images only — no PDF, color, embedded or skewed media) so bench.py can
+# report one throughput number whose cross-round deltas are never
+# confounded by corpus-mix changes (VERDICT r2 wrong #5).
+CONTROL_PROFILE = {"pdf": 0.0, "png": PNG_FRACTION, "rgb": 0.0, "embed": 0.0, "skew": 0.0}
+_DEFAULT_PROFILE = {
+    "pdf": PDF_FRACTION,
+    "png": PNG_FRACTION,
+    "rgb": RGB_FRACTION,
+    "embed": EMBED_FRACTION,
+    "skew": SKEW_FRACTION,
+}
+
+
+def is_skewed_media(media_ref: str, profile: dict | None = None) -> bool:
     """Whether this (image) media_ref renders at a tilt — exposed so
     tests can hold skewed media to their own (best-effort) accuracy
     floor; the GOLDEN contract stays exact for every media kind."""
-    return _rng("skew", media_ref).random() < SKEW_FRACTION
+    p = profile or _DEFAULT_PROFILE
+    return _rng("skew", media_ref).random() < p["skew"]
 
 
-def gen_media(media_ref: str) -> Media:
-    if _rng("mediakind", media_ref).random() < PDF_FRACTION:
+def gen_media(media_ref: str, profile: dict | None = None) -> Media:
+    p = {**_DEFAULT_PROFILE, **(profile or {})}
+    if _rng("mediakind", media_ref).random() < p["pdf"]:
         return gen_pdf_media(media_ref)
     grid, expected = gen_table_content(media_ref)
     ink = render_table(grid)
     erng = _rng("embed", media_ref)
-    if erng.random() < EMBED_FRACTION:
+    if erng.random() < p["embed"]:
         th, tw = ink.shape
         top, left = int(erng.integers(8, 40)), int(erng.integers(8, 40))
         bot, right = int(erng.integers(8, 40)), int(erng.integers(8, 40))
         page = np.zeros((th + top + bot, tw + left + right), np.uint8)
         page[top : top + th, left : left + tw] = ink
         ink = page
-    elif is_skewed_media(media_ref):
+    elif is_skewed_media(media_ref, p):
         from .engine.imageproc import rotate_mask_nn
 
         srng = _rng("skewang", media_ref)
@@ -237,8 +254,8 @@ def gen_media(media_ref: str) -> Media:
     gray = render_noisy_image(media_ref, ink)
     h, w = gray.shape
     rng = _rng("fmt", media_ref)
-    use_png = rng.random() < PNG_FRACTION
-    use_rgb = rng.random() < RGB_FRACTION
+    use_png = rng.random() < p["png"]
+    use_rgb = rng.random() < p["rgb"]
     if use_rgb:
         # color media: channel-replicated gray (integer luma with weights
         # summing to 256 maps R=G=B=v back to exactly v, so the color
@@ -309,11 +326,14 @@ def _gen_doc_chunk(args: tuple[int, int]) -> list[Doc]:
     return [gen_doc(i) for i in range(lo, hi)]
 
 
-def _gen_media_chunk(refs: list[str]) -> list[Media]:
-    return [gen_media(r) for r in refs]
+def _gen_media_chunk(args: tuple[list[str], dict | None]) -> list[Media]:
+    refs, profile = args
+    return [gen_media(r, profile) for r in refs]
 
 
-def gen_corpus(n_docs: int, workers: int | None = None) -> tuple[list[Doc], list[Media]]:
+def gen_corpus(
+    n_docs: int, workers: int | None = None, profile: dict | None = None
+) -> tuple[list[Doc], list[Media]]:
     """Generate the corpus, optionally in parallel: every doc/media is a
     pure function of its id, so chunks generate independently and are
     reassembled IN ORDER — output is byte-identical at any worker count
@@ -326,7 +346,7 @@ def gen_corpus(n_docs: int, workers: int | None = None) -> tuple[list[Doc], list
     if workers <= 1:
         docs = [gen_doc(i) for i in range(n_docs)]
         media = [
-            gen_media(s["media_ref"])
+            gen_media(s["media_ref"], profile)
             for d in docs
             for s in d.spans
             if s["kind"] == "media"
@@ -340,7 +360,10 @@ def gen_corpus(n_docs: int, workers: int | None = None) -> tuple[list[Doc], list
         docs = [d for chunk in ex.map(_gen_doc_chunk, doc_chunks) for d in chunk]
         refs = [s["media_ref"] for d in docs for s in d.spans if s["kind"] == "media"]
         rstep = max(1, -(-len(refs) // (workers * 4)))
-        ref_chunks = [refs[i : i + rstep] for i in range(0, len(refs), rstep)]
+        # profile rides the chunk payload: correct under fork AND spawn
+        ref_chunks = [
+            (refs[i : i + rstep], profile) for i in range(0, len(refs), rstep)
+        ]
         media = [m for chunk in ex.map(_gen_media_chunk, ref_chunks) for m in chunk]
     return docs, media
 
@@ -348,7 +371,12 @@ def gen_corpus(n_docs: int, workers: int | None = None) -> tuple[list[Doc], list
 # ------------------------------------------------------------- parquet output
 
 
-def write_corpus_parquet(out_dir: str, n_docs: int, with_golden: bool = True) -> dict:
+def write_corpus_parquet(
+    out_dir: str,
+    n_docs: int,
+    with_golden: bool = True,
+    profile: dict | None = None,
+) -> dict:
     """Materialize documents/media(/golden) parquet under out_dir.
 
     golden.parquet is produced by reference_impl.extract_doc — the
@@ -362,7 +390,7 @@ def write_corpus_parquet(out_dir: str, n_docs: int, with_golden: bool = True) ->
     from .reference_impl import extract_doc
 
     os.makedirs(out_dir, exist_ok=True)
-    docs, media = gen_corpus(n_docs)
+    docs, media = gen_corpus(n_docs, profile=profile)
 
     span_t = pa.struct(
         [("kind", pa.string()), ("text", pa.string()),
