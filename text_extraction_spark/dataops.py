@@ -1386,3 +1386,121 @@ def d22(spark, sf):
 
     av = spark.read.parquet(os.path.join(av_store_dir(), "av.parquet"))
     return av.mapInPandas(sample, "clip_id string, frame_idx int, mean_luma double")
+
+
+# ------------------------------------------- decontamination / repetition
+
+_DECON_N = 8  # matched to the short synthetic docs; production uses 13
+
+_D23_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_bench, array_to_string(w[i:i+7], ' ') AS g
+  FROM words, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
+),
+bench_grams AS (SELECT DISTINCT g FROM grams WHERE is_bench)
+SELECT d.doc_id, count(DISTINCT d.g) AS n_hits
+FROM grams d JOIN bench_grams b USING (g)
+WHERE NOT d.is_bench
+GROUP BY d.doc_id
+"""
+
+
+def _word_ngrams(w, n: int):
+    """JVM-side word n-gram array over a split-words column: transform
+    over sequence + slice + concat_ws; docs shorter than n yield an
+    EMPTY array (guard needed — Spark's sequence(1, 0) is DESCENDING
+    [1,0], not empty like DuckDB's range)."""
+    size = F.size(w)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@q("d23_decontaminate", _D23_SQL)
+def d23(spark, sf):
+    """Benchmark decontamination (the GPT-3 appx-C / PaLM training-data
+    op): find training docs sharing any word 8-gram with a held-out
+    benchmark set, so they can be dropped before training. Benchmark
+    membership here = md5-nibble of doc_id (deterministic,
+    engine-agnostic; in production it is the eval suites' text). Both
+    sides build n-grams JVM-side and meet in ONE equi-join on the gram
+    string; at 100 TB the benchmark gram set is tiny (benchmarks are
+    MBs) -> broadcast it and the train side never shuffles."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0").alias(
+            "is_bench"
+        ),
+    )
+    grams = d.select(
+        "doc_id", "is_bench", F.explode(_word_ngrams(F.col("w"), _DECON_N)).alias("g")
+    )
+    bench_grams = grams.filter("is_bench").select("g").distinct()
+    return (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+
+
+_D24_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+  FROM words, UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)
+),
+per_gram AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+),
+stats AS (
+  SELECT doc_id, sum(c) AS n_grams,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_grams,
+         max(c) AS top_gram
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id,
+       round(CAST(dup_grams AS DOUBLE) / n_grams, 4) AS dup_2gram_frac,
+       round(CAST(top_gram AS DOUBLE) / n_grams, 4) AS top_2gram_frac,
+       CAST(CAST(dup_grams AS DOUBLE) / n_grams < 0.15
+            AND CAST(top_gram AS DOUBLE) / n_grams < 0.09 AS INT) AS keep
+FROM stats
+"""
+
+
+@q("d24_repetition_filter", _D24_SQL)
+def d24(spark, sf):
+    """Gopher-style repetition quality filter (Rae et al. 2021, A1.1):
+    per-doc duplicate-2-gram fraction and top-2-gram fraction; keep
+    thresholds (0.15 / 0.09) sit at this corpus's p90-p99 tail so the
+    filter actually discriminates. Shape at 100 TB: explode + two
+    partial-aggregating groupBys keyed by (doc_id, gram) then doc_id --
+    uniform keys, map-side combine, no joins."""
+    d = t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    grams = d.select("doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("g"))
+    per = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_grams"),
+        F.max("c").alias("top_gram"),
+    )
+    dup_f = F.col("dup_grams").cast("double") / F.col("n_grams")
+    top_f = F.col("top_gram").cast("double") / F.col("n_grams")
+    return stats.select(
+        "doc_id",
+        F.round(dup_f, 4).alias("dup_2gram_frac"),
+        F.round(top_f, 4).alias("top_2gram_frac"),
+        ((dup_f < 0.15) & (top_f < 0.09)).cast("int").alias("keep"),
+    )
