@@ -65,6 +65,35 @@ def make_replay_dir(
     return out_dir
 
 
+def stream_source(
+    spark: SparkSession,
+    fmt: str = "file-replay",
+    path: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Streaming-source seam (round 3; mirrors catalog.py's Iceberg
+    seam): the single place a source format binds, so a production
+    source swaps in with one argument and nothing else changes.
+
+    * 'file-replay' — this sandbox's live source: ordered parquet chunk
+      replay with maxFilesPerTrigger=1 (read_events_stream).
+    * 'rate' — Spark's built-in synthetic source (smoke-tested).
+    * 'kafka' — the production line; raises at load() in this env
+      because no kafka connector jar / broker exists (options pass
+      through: kafka.bootstrap.servers, subscribe, ...).
+    """
+    if fmt == "file-replay":
+        if path is None:
+            raise ValueError("file-replay requires path=<replay_dir>")
+        return read_events_stream(spark, path)
+    if fmt in ("rate", "kafka"):
+        reader = spark.readStream.format(fmt)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    raise ValueError(f"unknown stream source format: {fmt!r}")
+
+
 def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
     schema = spark.read.parquet(replay_dir).schema
     return (
