@@ -174,3 +174,16 @@ def test_media_ocr_query_no_shuffle(spark):
     plan = _plan(extraction_queries.QUERIES["x06_media_table_ocr"](spark, SF))
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """q43 (round 3): the shuffle feeding the join must partition on
+    (supp_sk, salt) — the deliberately-hot key 0 spreads over _SALT_N
+    reducers instead of landing on one — and the join itself is a
+    shuffle-hash join, never broadcast (at 100 TB neither side fits)
+    nor nested-loop."""
+    df = relational.QUERIES["q43_salted_skew_join"](spark, SF)
+    plan = _plan(df)
+    assert "hashpartitioning(supp_sk" in plan and "salt" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -959,3 +959,56 @@ def q42(spark, sf):
            FROM tes_li_q42
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
     )
+
+
+# ------------------------------------------------------ Q43 salted skew join
+
+_SALT_N = 8
+
+_Q43_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_suppkey END AS supp_sk,
+         l_extendedprice, l_quantity
+  FROM lineitem
+)
+SELECT s.s_nationkey AS nationkey,
+       count(*) AS n_rows,
+       round(sum(f.l_extendedprice), 2) AS revenue
+FROM fact f JOIN supplier s ON s.s_suppkey = f.supp_sk
+GROUP BY s.s_nationkey
+"""
+
+
+@q("q43_salted_skew_join", _Q43_SQL)
+def q43(spark, sf):
+    """Salted skew join (round 3): a fact table whose join key is
+    DELIBERATELY skewed (25% of rows collapse onto key 0) joins a dim
+    without any single reducer owning the hot key. Standard salting:
+    fact rows get salt = pmod(xxhash64(payload), N) — deterministic,
+    uniform — and the dim side explodes ×N, so the hot key's rows spread
+    over N reducers; the (key, salt) equi-join is value-identical to the
+    plain join, which IS the DuckDB oracle. At 100 TB this is the manual
+    fallback when AQE's skew split can't apply (e.g. the skew is in a
+    shuffle feeding an aggregation, or pre-3.0 clusters); N scales with
+    the hot key's row share."""
+    li = t(spark, sf, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .alias("supp_sk"),
+        "l_extendedprice",
+        "l_quantity",
+        F.pmod(F.xxhash64("l_extendedprice", "l_quantity"), F.lit(_SALT_N)).alias(
+            "salt"
+        ),
+    )
+    dim = t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("supp_sk"),
+        "s_nationkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))).alias("salt"),
+    )
+    joined = fact.join(dim.hint("shuffle_hash"), ["supp_sk", "salt"])
+    return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
