@@ -1504,3 +1504,110 @@ def d24(spark, sf):
         F.round(top_f, 4).alias("top_2gram_frac"),
         ((dup_f < 0.15) & (top_f < 0.09)).cast("int").alias("keep"),
     )
+
+
+_D25_SQL = """
+WITH words AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+  FROM documents
+),
+dup AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+  FROM words
+),
+grams8 AS (
+  SELECT doc_id, is_bench, array_to_string(w[i:i+7], ' ') AS g
+  FROM words, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
+),
+bench_grams AS (SELECT DISTINCT g FROM grams8 WHERE is_bench),
+contam AS (
+  SELECT DISTINCT d.doc_id FROM grams8 d JOIN bench_grams b USING (g)
+  WHERE NOT d.is_bench
+),
+grams2 AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+  FROM words, UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)
+),
+rep AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) < 0.15
+         AND CAST(max(c) AS DOUBLE) / sum(c) < 0.09 AS rep_ok
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+qual AS (
+  SELECT doc_id,
+         len(w) BETWEEN 20 AND 400
+         AND CAST(length(text) AS DOUBLE) / len(w) BETWEEN 3 AND 12 AS quality_ok
+  FROM words
+)
+SELECT w.doc_id,
+       CASE WHEN d.is_dup THEN 'exact_dup'
+            WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+            WHEN NOT q.quality_ok THEN 'low_quality'
+            WHEN NOT r.rep_ok THEN 'repetitive'
+       END AS reason,
+       CAST(d.is_dup = false AND c.doc_id IS NULL
+            AND q.quality_ok AND r.rep_ok AS INT) AS keep
+FROM words w
+JOIN dup d USING (doc_id)
+JOIN qual q USING (doc_id)
+JOIN rep r USING (doc_id)
+LEFT JOIN contam c USING (doc_id)
+"""
+
+
+@q("d25_curation_pipeline", _D25_SQL)
+def d25(spark, sf):
+    """The one-call CURATION decision — what a user actually runs over a
+    100 TB raw corpus before training: exact-dup → benchmark
+    decontamination (d23) → quality gate (d08's rule) → repetition gate
+    (d24's rule), producing (doc_id, reason, keep) with the FIRST
+    failing stage as the reject reason. Every stage is the same
+    bucketed/linear shape as its standalone op: the dup check is one
+    window over md5(text) (uniform keys), contamination reuses the
+    broadcast benchmark gram set, quality is pure projection, repetition
+    is two partial-agg groupBys. Fully DuckDB-value-verified — the
+    composition, not just the stages."""
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    awl = F.length("text").cast("double") / nw
+    quality_ok = nw.between(20, 400) & awl.between(3, 12)
+    is_dup = F.col("doc_id") != F.min("doc_id").over(
+        Window.partitionBy(F.md5("text"))
+    )
+    base = docs.select("doc_id", is_dup.alias("is_dup"), quality_ok.alias("quality_ok"))
+    contam = (
+        d23(spark, sf)
+        .select("doc_id")
+        .withColumn("contaminated", F.lit(True))
+    )
+    rep = d24(spark, sf).select(
+        "doc_id", (F.col("keep") == 1).alias("rep_ok")
+    )
+    j = (
+        base.join(rep, "doc_id")
+        .join(contam, "doc_id", "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    )
+    reason = (
+        F.when(F.col("is_dup"), "exact_dup")
+        .when(F.col("contaminated"), "contaminated")
+        .when(~F.col("quality_ok"), "low_quality")
+        .when(~F.col("rep_ok"), "repetitive")
+    )
+    return j.select(
+        "doc_id",
+        reason.alias("reason"),
+        (
+            ~F.col("is_dup")
+            & ~F.col("contaminated")
+            & F.col("quality_ok")
+            & F.col("rep_ok")
+        )
+        .cast("int")
+        .alias("keep"),
+    )
