@@ -144,8 +144,12 @@ def main() -> None:
     # separate JVMs via local-cluster (each 2 cores + 2 GB). Below ~8
     # total cores the box is compute-bound, so the executor pair
     # measures the JOB's scaling, not the host's DRAM ceiling.
-    exe_1 = _run_extraction("local-cluster[1,2,2048]", corpus, "e1x2", repeats=2)
-    exe_4 = _run_extraction("local-cluster[4,2,2048]", corpus, "e4x2", repeats=2)
+    # repeats=3 (round 3): the efficiency is a RATIO of two short runs
+    # minutes apart on a noisy shared host — same-code same-day runs
+    # measured 0.744 under contention and 0.897 quiet; min-of-3 per
+    # level tightens the estimate toward the quiet-host number.
+    exe_1 = _run_extraction("local-cluster[1,2,2048]", corpus, "e1x2", repeats=3)
+    exe_4 = _run_extraction("local-cluster[4,2,2048]", corpus, "e4x2", repeats=3)
     eff_exec = (exe_4["docs_per_sec"] / exe_1["docs_per_sec"]) / 4.0
 
     # ---- secondary: in-process thread scaling at three levels (2/8/32
