@@ -349,3 +349,19 @@ def test_langid_accuracy_on_multilingual_fixture():
     pred = dataops.langid_udf.func(pd.Series([s for _, s in samples]))
     acc = sum(p == l for (l, _), p in zip(samples, pred)) / len(samples)
     assert acc >= 0.9, f"langid accuracy {acc}"
+
+
+def test_embedding_dedup_pipeline_keep_semantics(spark):
+    """d26 (round 3): LSH candidates → exact-cosine verify → components
+    → keep-list over embeddings. Exactly ONE keeper per component and it
+    is the component's min vec_id; non-trivial components must exist at
+    sf0.001 (the testdata embeds near-dup pairs)."""
+    rows = dataops.QUERIES["d26_embedding_dedup_pipeline"](spark, SF).collect()
+    assert rows, "no candidate components found"
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for members in by_comp.values():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        assert keepers[0].vec_id == min(m.vec_id for m in members)

@@ -187,3 +187,15 @@ def test_salted_join_spreads_hot_key(spark):
     assert "hashpartitioning(supp_sk" in plan and "salt" in plan
     assert "ShuffledHashJoin" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_curation_pipeline_pure_jvm_broadcast(spark):
+    """d25 (round 3): the one-call curation decision must stay entirely
+    JVM-side (no Python eval nodes) with the benchmark gram set
+    broadcast — the shape that holds at 100 TB."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops.QUERIES["d25_curation_pipeline"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -1611,3 +1611,51 @@ def d25(spark, sf):
         .cast("int")
         .alias("keep"),
     )
+
+
+@q("d26_embedding_dedup_pipeline")  # ⊘ rows-only (LSH candidates; components
+# guarded by _connected_components' convergence raise + keep-semantics test)
+def d26(spark, sf):
+    """The EMBEDDING twin of d20's corpus dedup: hyperplane-LSH
+    candidate pairs (d06's bucketing, never corpus²) → exact
+    double-precision cosine verify ≥ 0.30 → large-star/small-star
+    connected components → per-component keep decision (min vec_id
+    survives). Returns (vec_id, component, keep) — the drop-list a user
+    applies before training on an embedding-deduped corpus. Every stage
+    is the same bucketed/linear shape as its standalone op."""
+    emb = t(spark, sf, "embeddings")
+    dim, _ = embedding_dim_and_dropped(emb)
+    e = emb.select(
+        "vec_id", "embedding",
+        F.explode(_hyperplane_buckets_udf(dim)("embedding")).alias("bucket"),
+    ).filter(F.col("bucket") >= 0)
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket")
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vb") > F.col("va"))
+        .select("va", "vb", "ea", "eb")
+        .dropDuplicates(["va", "vb"])
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v_: acc + v_,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        )
+    )
+    verified = pairs.select(
+        F.col("va").alias("a"), F.col("vb").alias("b"),
+        (dot / norm(F.col("ea")) / norm(F.col("eb"))).alias("cos"),
+    ).filter(F.col("cos") >= 0.30).select("a", "b")
+    cc = _connected_components(verified)
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
