@@ -365,3 +365,39 @@ def test_embedding_dedup_pipeline_keep_semantics(spark):
         keepers = [m for m in members if m.keep]
         assert len(keepers) == 1
         assert keepers[0].vec_id == min(m.vec_id for m in members)
+
+
+def test_connected_components_hypothesis_random_graphs(spark):
+    """Hypothesis-style property over many random graphs (driver-seeded,
+    not @given — each case needs a Spark job): star-contraction equals
+    union-find on 12 random (n, m) graphs including empty, self-loop,
+    dense and sparse regimes."""
+    import random
+
+    rng = random.Random(99)
+    for _case in range(12):
+        n = rng.randint(1, 60)
+        m = rng.randint(0, 90)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        verts = sorted({v for ab in edges for v in ab})
+        members: dict[int, list[int]] = {}
+        for v in verts:
+            members.setdefault(find(v), []).append(v)
+        want = {v: min(members[find(v)]) for v in verts}
+        e = spark.createDataFrame(edges, "a: long, b: long") if edges else (
+            spark.createDataFrame([], "a: long, b: long")
+        )
+        got = {r.id: r.component for r in dataops._connected_components(e).collect()}
+        assert got == want, (n, m, edges[:10])
