@@ -401,3 +401,18 @@ def test_connected_components_hypothesis_random_graphs(spark):
         )
         got = {r.id: r.component for r in dataops._connected_components(e).collect()}
         assert got == want, (n, m, edges[:10])
+
+
+def test_word_ngrams_short_docs_empty_not_descending(spark):
+    """Spark's sequence(1, 0) is DESCENDING [1, 0] — not empty like
+    DuckDB's range — so _word_ngrams must guard docs shorter than n
+    (they yield an EMPTY gram array, matching the oracle)."""
+    df = spark.createDataFrame(
+        [("a b c",), ("one two three four five six seven eight",), ("",)],
+        "text: string",
+    )
+    out = df.select(
+        dataops._word_ngrams(F.split("text", " "), 8).alias("g")
+    ).collect()
+    assert [len(r.g) for r in out] == [0, 1, 0]
+    assert out[1].g == ["one two three four five six seven eight"]
