@@ -256,3 +256,35 @@ def test_split_contents_spanning_text_state():
         b"\nendstream\nendobj\n"
     )
     assert extract_pdf_text(pdf) == "first \nsecond"
+
+
+def test_filter_chains_hex_a85_and_cascade():
+    """Round-3 (ISO 32000-1 §7.4): /Filter in array form, ASCIIHexDecode,
+    ASCII85Decode, and the [/ASCII85Decode /FlateDecode] cascade all
+    decode; unknown filters pass through without crashing."""
+    import base64
+    import binascii
+    import zlib as _z
+
+    raw = b"BT /F1 12 Tf 72 720 Td (filters work) Tj ET"
+
+    def pdf_with(filter_decl: bytes, payload: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Length " + str(len(payload)).encode() +
+            b" " + filter_decl + b" >>\nstream\n" + payload +
+            b"\nendstream\nendobj\n"
+        )
+
+    hexed = binascii.hexlify(raw) + b">"
+    assert extract_pdf_text(pdf_with(b"/Filter /ASCIIHexDecode", hexed)) == "filters work"
+    a85 = base64.a85encode(raw) + b"~>"
+    assert extract_pdf_text(pdf_with(b"/Filter [/ASCII85Decode]", a85)) == "filters work"
+    cascade = base64.a85encode(_z.compress(raw)) + b"~>"
+    assert (
+        extract_pdf_text(pdf_with(b"/Filter [/ASCII85Decode /FlateDecode]", cascade))
+        == "filters work"
+    )
+    # whitespace inside hex data is ignored per spec
+    spaced = b" ".join(hexed[i : i + 4] for i in range(0, len(hexed), 4))
+    assert extract_pdf_text(pdf_with(b"/Filter /ASCIIHexDecode", spaced)) == "filters work"

@@ -89,10 +89,50 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return out
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
+    ignored, '>' EOD, odd final digit padded with 0."""
+    body = data.split(b">")[0]
+    hexdigits = bytes(c for c in body if not chr(c).isspace())
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (ISO 32000-1 §7.4.3): base-85 groups, 'z' = four
+    zero bytes, '~>' EOD, partial final group. stdlib a85decode
+    implements exactly this once whitespace/EOD are normalized."""
+    import base64
+
+    body = data.split(b"~>")[0]
+    body = bytes(c for c in body if not chr(c).isspace())
+    if body.startswith(b"<~"):
+        body = body[2:]
+    return base64.a85decode(body)
+
+
 def _decode_stream(head: bytes, stream: bytes) -> bytes:
-    if b"/FlateDecode" in head:
-        return zlib.decompress(stream)
-    return stream
+    """Apply the stream's /Filter chain (round-3: name OR array form,
+    cascades like [/ASCII85Decode /FlateDecode] applied in order per
+    ISO 32000-1 §7.4.1; previously only a bare FlateDecode was
+    recognized). Unknown filters pass through untouched — a wrong
+    passthrough parses to garbage text, never a crash, matching the
+    corruption-fuzz contract."""
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", head)
+    if not fm:
+        return stream
+    names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    out = stream
+    for name in names:
+        if name == b"FlateDecode":
+            out = zlib.decompress(out)
+        elif name == b"ASCIIHexDecode":
+            out = _ascii_hex_decode(out)
+        elif name == b"ASCII85Decode":
+            out = _ascii85_decode(out)
+        # else: unsupported (DCT, LZW, ...) — pass through
+    return out
 
 
 def _dict_value_refs(head: bytes, key: bytes) -> list[int]:
