@@ -416,3 +416,18 @@ def test_word_ngrams_short_docs_empty_not_descending(spark):
     ).collect()
     assert [len(r.g) for r in out] == [0, 1, 0]
     assert out[1].g == ["one two three four five six seven eight"]
+
+
+def test_connected_components_round_count_is_logarithmic(spark):
+    """Quantified diameter-independence: a 10× longer chain must cost
+    only ~log more contraction rounds (measured: diameter 200 → 9
+    rounds, diameter 2000 → 12; plain propagation would need 200 and
+    2000). Pins the O(log² n) claim, not just correctness."""
+    e = spark.createDataFrame([(i, i + 1) for i in range(200)], "a: long, b: long")
+    dataops._connected_components(e).collect()
+    r200 = dataops._cc_last_rounds
+    e = spark.createDataFrame([(i, i + 1) for i in range(2000)], "a: long, b: long")
+    dataops._connected_components(e).collect()
+    r2000 = dataops._cc_last_rounds
+    assert r200 <= 12 and r2000 <= 16
+    assert r2000 - r200 <= 6  # 10× diameter ⇒ +O(log), not +O(diameter)

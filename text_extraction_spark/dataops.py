@@ -1106,9 +1106,11 @@ def _connected_components(edges, max_iter: int = 25):
     )
     e, n_e = clean, clean.count()
     converged = n_e == 0
+    rounds = 0
     for _ in range(max_iter):
         if converged:
             break
+        rounds += 1
         new_e = _small_star(_large_star(e)).localCheckpoint()
         n_new = new_e.count()
         # Both sides are distinct sets, so equality ⟺ same size and
@@ -1122,11 +1124,18 @@ def _connected_components(edges, max_iter: int = 25):
             f"{max_iter} rounds ({n_e} edges remain unstable); refusing to "
             "return partially-propagated components"
         )
+    # Observability: round count of the last call (tests pin the
+    # diameter-independence claim against it; a log line at 100 TB).
+    global _cc_last_rounds
+    _cc_last_rounds = rounds
     # Stable star forest: every non-center points at its component min.
     star = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
     return verts.join(star, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")
     )
+
+
+_cc_last_rounds = 0
 
 
 _CC_SQL = """
