@@ -10,9 +10,14 @@ Similarity: brute-force cosine top-k (JVM-side zip_with/aggregate — the
 baseline) and random-hyperplane LSH bucketing (the scale path: candidates
 come from bucket joins, never an all-pairs cross join).
 Text analysis: token counting (whitespace + BPE-ish regex), quality
-scoring, language ID (n-gram heuristic), document fingerprinting.
+scoring, language ID (Cavnar–Trenkle trigram rank distance), document
+fingerprinting, benchmark decontamination (d23), Gopher-style
+repetition filtering (d24), the one-call curation decision (d25).
+Dedup decisions: large-star/small-star connected components (d19) and
+the one-call corpus (d20) / embedding (d26) dedup pipelines.
 Multimodal: binary image columns with typed metadata, decode +
-feature-extract via Arrow UDFs over the media store.
+feature-extract via Arrow UDFs over the media store; real PCM audio
+(d21) and raw-RGB24 video (d22) decode over the deterministic AV store.
 
 Scale notes are in each docstring: every op is expressed so the
 candidate set grows linearly (bucketing/banding), not quadratically.
