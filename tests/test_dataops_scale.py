@@ -431,3 +431,40 @@ def test_connected_components_round_count_is_logarithmic(spark):
     r2000 = dataops._cc_last_rounds
     assert r200 <= 12 and r2000 <= 16
     assert r2000 - r200 <= 6  # 10× diameter ⇒ +O(log), not +O(diameter)
+
+
+def test_connected_components_reliable_checkpoint(tmp_path):
+    """When the context has a checkpoint dir (the 100 TB setting),
+    _connected_components must use RELIABLE checkpoints — files appear
+    under the dir — and produce identical results. Runs in a subprocess
+    because setCheckpointDir is global to the session."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = str(tmp_path / "ckpt")
+    script = textwrap.dedent(f"""
+        import sys, os
+        sys.path.insert(0, {repo!r})
+        from text_extraction_spark.conf import get_spark, stop_active
+        from text_extraction_spark import dataops
+        stop_active()
+        spark = get_spark("local[4]", app_name="cc-ckpt", shuffle_partitions=8)
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.sparkContext.setCheckpointDir({ckpt!r})
+        e = spark.createDataFrame([(i, i + 1) for i in range(60)], "a: long, b: long")
+        out = {{r.id: r.component for r in dataops._connected_components(e).collect()}}
+        assert len(out) == 61 and set(out.values()) == {{0}}, out
+        files = [f for _d, _s, fs in os.walk({ckpt!r}) for f in fs]
+        assert files, "no reliable checkpoint files written"
+        stop_active()
+        print("CC-CKPT-OK")
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "CC-CKPT-OK" in proc.stdout

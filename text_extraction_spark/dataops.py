@@ -1086,6 +1086,16 @@ def _small_star(e):
     )
 
 
+def _ckpt(df):
+    """Per-round lineage cut for iterative algorithms: RELIABLE
+    checkpoint when the context has a checkpoint dir configured (the
+    100 TB setting — survives executor loss; localCheckpoint's blocks
+    die with their executor and fail the job), else localCheckpoint
+    (this sandbox: zero extra I/O)."""
+    sc = df.sparkSession.sparkContext
+    return df.checkpoint() if sc.getCheckpointDir() else df.localCheckpoint()
+
+
 def _connected_components(edges, max_iter: int = 25):
     """Distributed connected components over an (a, b) edge DataFrame →
     (id, component) with component = min doc id reachable.
@@ -1098,16 +1108,14 @@ def _connected_components(edges, max_iter: int = 25):
     long dup-chain and silently return partially-propagated labels
     (VERDICT r2 'what's wrong' #1); now max_iter=25 covers any corpus
     below ~2^25 vertices per component and exhaustion RAISES instead of
-    returning wrong components. localCheckpoint() per round truncates
-    the lineage so planning time stays flat."""
-    clean = (
-        edges.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
-    )
-    verts = (
+    returning wrong components. _ckpt() per round truncates the lineage
+    so planning time stays flat (reliable checkpoint when a dir is
+    configured)."""
+    clean = _ckpt(edges.filter(F.col("a") != F.col("b")).distinct())
+    verts = _ckpt(
         edges.select(F.col("a").alias("id"))
         .unionByName(edges.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     e, n_e = clean, clean.count()
     converged = n_e == 0
@@ -1116,7 +1124,7 @@ def _connected_components(edges, max_iter: int = 25):
         if converged:
             break
         rounds += 1
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_e = _ckpt(_small_star(_large_star(e)))
         n_new = new_e.count()
         # Both sides are distinct sets, so equality ⟺ same size and
         # new ⊆ old (one anti-join count, no full symmetric difference).
