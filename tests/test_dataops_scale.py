@@ -74,14 +74,15 @@ def test_simhash_vectorized_matches_reference():
 def test_hyperplane_buckets_deterministic_and_shaped():
     e64 = [np.arange(64, dtype=float).tolist(), (np.ones(64) * -1).tolist()]
     bad = [[1.0, 2.0]]  # wrong dim
-    out = dataops.hyperplane_buckets_udf.func(pd.Series(e64 + bad)).tolist()
+    udf64 = dataops._hyperplane_buckets_udf(64)
+    out = udf64.func(pd.Series(e64 + bad)).tolist()
     assert len(out) == 3
     assert len(out[0]) == dataops._LSH_TABLES
     assert out[2] == [-1] * dataops._LSH_TABLES
     # table id spaces are disjoint
     for t_idx, b in enumerate(out[0]):
         assert b >> dataops._LSH_PLANES == t_idx
-    out2 = dataops.hyperplane_buckets_udf.func(pd.Series(e64 + bad)).tolist()
+    out2 = dataops._hyperplane_buckets_udf(64).func(pd.Series(e64 + bad)).tolist()
     assert out == out2
 
 

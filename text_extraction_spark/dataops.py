@@ -380,9 +380,6 @@ def _hyperplane_buckets_udf(dim: int):
     return buckets
 
 
-# The testdata store is 64-d; kept as a module-level instance for the
-# determinism/shape unit test.
-hyperplane_buckets_udf = _hyperplane_buckets_udf(64)
 
 
 @q("d06_ann_lsh_bucketed")  # ⊘ rows-only (approximate; recall gated by d14)
