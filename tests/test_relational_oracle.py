@@ -58,3 +58,30 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["lang", "n_docs", "n_kept", "avg_kept_chars", "avg_chars"]
+
+
+def test_register_testdata_views_pure_sql(spark):
+    """catalog.register_testdata_views exposes the driver testdata under
+    the same names the DuckDB oracle uses — the whole relational plane
+    is reachable from pure spark.sql."""
+    from text_extraction_spark.catalog import register_testdata_views
+
+    register_testdata_views(spark, SF)
+    r = spark.sql(
+        "SELECT r_name, count(*) AS n FROM region JOIN nation "
+        "ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
+    ).collect()
+    assert len(r) == 5 and sum(x.n for x in r) == 25
+
+
+def test_check_all_helper_matches_driver_gate(spark, con):
+    """oracle_check.check_all is the in-repo twin of the driver's
+    correctness loop; spot-run it on three queries."""
+    from text_extraction_spark.oracle_check import check_all
+
+    out = check_all(spark, SF, only=[
+        "q01_scan_projection", "q10_tpch_q1_agg", "q43_salted_skew_join",
+    ])
+    assert set(out) == {"q01_scan_projection", "q10_tpch_q1_agg", "q43_salted_skew_join"}
+    for name, r in out.items():
+        assert r["schema_match"] and r["count_match"] and r["values_match"], (name, r)
