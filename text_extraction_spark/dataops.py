@@ -1678,3 +1678,57 @@ def d26(spark, sf):
         "component",
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+_D27_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 3
+"""
+
+
+@q("d27_tfidf_topk", _D27_SQL)
+def d27(spark, sf):
+    """Per-document top-3 TF-IDF keywords — the classic corpus-analysis
+    op (keyword extraction, topic sampling, index pruning). Shape at
+    100 TB: explode + groupBy(doc_id, term) with map-side combine, the
+    document-frequency table aggregates from THAT result (no second
+    corpus pass), the corpus count joins as a broadcast scalar, and the
+    per-doc top-k is one window with a total (score desc, term asc)
+    tie-break. Rounding happens BEFORE ranking on both engines so float
+    ulps can't flip the oracle's ordering."""
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rn"))
+    )
