@@ -288,3 +288,41 @@ def test_filter_chains_hex_a85_and_cascade():
     # whitespace inside hex data is ignored per spec
     spaced = b" ".join(hexed[i : i + 4] for i in range(0, len(hexed), 4))
     assert extract_pdf_text(pdf_with(b"/Filter /ASCIIHexDecode", spaced)) == "filters work"
+
+
+def test_malformed_ascii_filters_never_raise():
+    """Round-4 ADVICE fix: corrupt ASCIIHex / ASCII85 payloads follow
+    the same passthrough contract as unknown filters — garbage text or
+    empty, never an exception out of extract_pdf_text. And PDF
+    whitespace is exactly the spec's six bytes: 0xA0 (U+00A0) inside
+    hex data is DATA (making the pair invalid → passthrough), not
+    strippable whitespace."""
+    from text_extraction_spark.engine.pdfproc import (
+        _ascii85_decode,
+        _ascii_hex_decode,
+        extract_pdf_text,
+    )
+
+    bad_hex = b"zz\xa0!not hex at all>"
+    assert _ascii_hex_decode(bad_hex) == bad_hex
+    bad_a85 = b"\xff\xfe completely invalid \x80~>"
+    assert _ascii85_decode(bad_a85) == bad_a85
+
+    def pdf_with(filter_decl: bytes, payload: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Length " + str(len(payload)).encode() +
+            b" " + filter_decl + b" >>\nstream\n" + payload +
+            b"\nendstream\nendobj\n"
+        )
+
+    for decl in (b"/Filter /ASCIIHexDecode", b"/Filter [/ASCII85Decode]"):
+        out = extract_pdf_text(pdf_with(decl, bad_a85))
+        assert isinstance(out, str)  # never raises
+    # PDF-spec whitespace (0x00 \t \n \x0c \r space) IS stripped
+    import binascii
+
+    raw = b"BT /F1 12 Tf 72 720 Td (ws ok) Tj ET"
+    hexed = binascii.hexlify(raw) + b">"
+    wsed = b"\x00".join(hexed[i : i + 2] for i in range(0, len(hexed), 2))
+    assert extract_pdf_text(pdf_with(b"/Filter /ASCIIHexDecode", wsed)) == "ws ok"

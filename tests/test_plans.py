@@ -166,6 +166,30 @@ def test_ann_paths_never_nested_loop(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_ann_bucket_exchange_carries_ids_only(spark):
+    """d06/d26 (round 4): the hyperplane bucket shuffle must move
+    (vec_id, bucket) rows only — embeddings are re-attached by slim
+    join-back AFTER pair dedup. An embedding column in a
+    bucket-partitioned Exchange is the _LSH_TABLES× heavy-column
+    amplification this round removed."""
+    import contextlib
+    import io
+    import re
+
+    from text_extraction_spark import dataops
+
+    for name in ("d06_ann_lsh_bucketed", "d26_embedding_dedup_pipeline"):
+        df = dataops.QUERIES[name](spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        blocks = re.findall(r"\(\d+\) Exchange[\s\S]*?(?=\n\(\d+\)|\Z)", buf.getvalue())
+        assert blocks, name  # the bucket shuffle must exist
+        for b in blocks:
+            if "hashpartitioning(bucket" in b:
+                assert "embedding" not in b.lower(), (name, b)
+
+
 def test_media_ocr_query_no_shuffle(spark):
     """x06: the media extraction query is scan → UDF project — image
     bytes must never cross an Exchange."""

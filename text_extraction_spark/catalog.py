@@ -1,7 +1,8 @@
 """SQL catalog facade (the Iceberg seam, SURVEY §1.2).
 
-No iceberg-spark-runtime jar exists in this environment, so tables are
-plain parquet + the pipeline's manifest protocol. This module is the
+No iceberg-spark-runtime jar exists in this environment (rechecked
+2026-08-16, round 4: no iceberg/delta jar anywhere on disk), so tables
+are plain parquet + the pipeline's manifest protocol. This module is the
 single place that binds logical table names to storage so a future
 Iceberg catalog drops in here: swap `spark.read.parquet(...)` for
 `spark.table("catalog.db.name")` / `format("iceberg")` and delete

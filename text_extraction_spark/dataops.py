@@ -387,35 +387,33 @@ def d06(spark, sf):
     """LSH-bucketed ANN (the scale path): _LSH_TABLES OR-amplified
     hyperplane tables of _LSH_PLANES bits (round-2 fix: one 12-plane
     table under-recalled). A pair is a candidate iff ANY table buckets
-    it together; each table join is per-bucket equi-join work, duplicate
-    hits collapse in one groupBy(q_id, vec_id) that also carries the
-    exact cosine — work scales with bucket occupancy, never corpus².
-    Recall vs the exact d05 twin is measured by d14_ann_recall and
-    pinned in tests."""
+    it together; candidates come from an ids-only bucket join with hot
+    buckets capped at _ANN_BUCKET_CAP representatives (round 4), so
+    work scales with bucket occupancy × cap, never corpus² — even on a
+    store of millions of identical embeddings. Recall vs the exact d05
+    twin is measured by d14_ann_recall and pinned in tests."""
     return hyperplane_ann(t(spark, sf, "embeddings"))
 
 
-def hyperplane_ann(emb):
-    """d06's reusable core over any (vec_id, embedding) DataFrame: dim
-    is derived from the data (not hardcoded 64) and wrong-dim rows are
-    counted and warned about, never silently dropped (round-3 fix)."""
-    import warnings
+# Above this bucket size the candidate side of every hyperplane bucket is
+# truncated to its _ANN_BUCKET_CAP lowest-vec_id representatives (round-4
+# fix — VERDICT r3 #2, the d02 _LSH_BUCKET_CAP lesson applied to the
+# embedding path): a degenerate store — millions of identical or
+# near-identical embeddings, exactly what a dedup-bound corpus contains —
+# collapses into ONE bucket per table, and the uncapped self-join emitted
+# O(n²) pairs in a single task. Every bucket member still pairs with
+# every representative, so (a) ANN queries keep >= cap candidates in a
+# degenerate bucket (identical vectors are interchangeable neighbors) and
+# (b) dedup keeps the whole bucket connected through the representative
+# set — at O(n·cap) output instead of O(n²).
+_ANN_BUCKET_CAP = 64
 
-    dim, dropped = embedding_dim_and_dropped(emb)
-    if dropped:
-        warnings.warn(
-            f"hyperplane_ann: {dropped} rows dropped (embedding dim != {dim})",
-            stacklevel=2,
-        )
-    e = emb.select(
-        "vec_id", "embedding",
-        F.explode(_hyperplane_buckets_udf(dim)("embedding")).alias("bucket"),
-    ).filter(F.col("bucket") >= 0)
-    a = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket")
-    b = e.select("vec_id", "embedding", "bucket")
-    j = a.join(b, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+
+def _cosine(ca, cb):
+    """Exact double-precision cosine between two array columns, JVM-side
+    (zip_with + aggregate — no Python in the hot path)."""
     dot = F.aggregate(
-        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -426,14 +424,78 @@ def hyperplane_ann(emb):
             lambda acc, v: acc + v,
         )
     )
-    sims = j.select(
-        "q_id", "vec_id",
-        F.round(dot / norm(F.col("embedding")) / norm(F.col("qe")), 4).alias("cosine"),
+    return dot / norm(ca) / norm(cb)
+
+
+def _hyperplane_id_pairs(emb):
+    """(vec_id, embedding) → distinct undirected candidate id pairs
+    (ua < ub) from the multi-table hyperplane buckets. IDS ONLY ride the
+    bucket shuffle (round-4 fix — VERDICT r3 #3: embeddings previously
+    rode every exploded bucket row, a _LSH_TABLES× amplification of the
+    heaviest column at scale); callers re-attach embeddings with two
+    slim equi-joins (the d12 join-back shape). The candidate side of
+    each bucket is capped at _ANN_BUCKET_CAP representatives via a
+    per-bucket row_number — streaming, never a whole-bucket collect, so
+    even a 10M-member degenerate bucket sorts ids in one task without
+    materializing a giant array row."""
+    import warnings
+
+    dim, dropped = embedding_dim_and_dropped(emb)
+    if dropped:
+        warnings.warn(
+            f"hyperplane ann: {dropped} rows dropped (embedding dim != {dim})",
+            stacklevel=2,
+        )
+    e = emb.select(
+        "vec_id",
+        F.explode(_hyperplane_buckets_udf(dim)("embedding")).alias("bucket"),
+    ).filter(F.col("bucket") >= 0)
+    wb = Window.partitionBy("bucket").orderBy("vec_id")
+    reps = (
+        e.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _ANN_BUCKET_CAP)
+        .drop("rn")
     )
-    # collapse multi-table duplicate hits; cosine is identical per pair
-    sims = sims.groupBy("q_id", "vec_id").agg(F.first("cosine").alias("cosine"))
+    return (
+        e.select(F.col("vec_id").alias("qv"), "bucket")
+        .join(reps.select(F.col("vec_id").alias("rv"), "bucket"), "bucket")
+        .filter(F.col("qv") != F.col("rv"))
+        .select(F.least("qv", "rv").alias("ua"), F.greatest("qv", "rv").alias("ub"))
+        .dropDuplicates(["ua", "ub"])
+    )
+
+
+def hyperplane_ann(emb):
+    """d06's reusable core over any (vec_id, embedding) DataFrame: dim
+    is derived from the data (not hardcoded 64) and wrong-dim rows are
+    counted and warned about, never silently dropped (round-3 fix).
+    Round 4: candidates come from _hyperplane_id_pairs (ids-only
+    shuffle, capped hot buckets); the exact cosine is computed ONCE per
+    undirected pair after a slim join-back, then both query directions
+    are emitted for the per-query top-3 — half the cosine work of the
+    old per-direction join and no duplicate-hit groupBy."""
+    pairs = _hyperplane_id_pairs(emb)
+    ea = emb.select(F.col("vec_id").alias("ua"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("ub"), F.col("embedding").alias("eb"))
+    scored = (
+        pairs.join(ea, "ua")
+        .join(eb, "ub")
+        .select("ua", "ub", F.round(_cosine(F.col("ea"), F.col("eb")), 4).alias("cosine"))
+    )
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ua").alias("q_id"), F.col("ub").alias("vec_id"), F.col("cosine")
+                ),
+                F.struct(
+                    F.col("ub").alias("q_id"), F.col("ua").alias("vec_id"), F.col("cosine")
+                ),
+            )
+        ).alias("p")
+    ).select("p.q_id", "p.vec_id", "p.cosine")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
+    return directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
         "q_id", "vec_id", "cosine"
     )
 
@@ -442,12 +504,15 @@ _RECALL_QUERIES = 50  # d14 evaluation set: vec_id < 50
 
 # IVF config (d15): k-means centroids trained on a BOUNDED driver-side
 # sample (the faiss shape — train on a sample, assign distributed);
-# queries probe their nprobe nearest cells. Measured on the noise-like
-# testdata: recall@3 ≈ 0.6 at ~0.19 candidate fraction — a 2nd point on
-# the recall/work curve next to d06's LSH (0.78 @ 0.41). On real
-# clustered embeddings IVF reduces far more (cells match structure).
-_IVF_K = 32
-_IVF_NPROBE = 6
+# queries probe their nprobe nearest cells. Round-4 operating point from
+# a 10-config K×nprobe sweep on the noise-like testdata (worst case for
+# any ANN): K=48/nprobe=14 measures recall@3 = 0.753 at 0.292 candidate
+# fraction (sf0.001; 0.88 at sf0.01) — vs the old 32/6's 0.60 @ 0.19 —
+# Pareto-best of the sweep and better recall at LESS work than d06's
+# LSH point (0.85 @ 0.41). On real clustered embeddings IVF reduces far
+# more (cells match structure). Floors pinned in tests.
+_IVF_K = 48
+_IVF_NPROBE = 14
 _IVF_TRAIN_CAP = 2048
 _IVF_ITERS = 5
 _ivf_cache: dict = {}
@@ -1312,7 +1377,11 @@ def av_store_dir() -> str:
         )
         import shutil
 
-        if os.path.isdir(d):  # stale partial store from a crashed build
+        if os.path.isdir(d) and not os.path.exists(marker):
+            # stale partial store from a crashed build; re-check the
+            # marker right before deleting (round-4 ADVICE fix) so a
+            # concurrent generator's just-renamed COMPLETE store is
+            # never clobbered mid-scan
             shutil.rmtree(d, ignore_errors=True)
         tmp = tempfile.mkdtemp(prefix=".av_store_build_", dir=cache_root())
         pq.write_table(tbl, os.path.join(tmp, "av.parquet"), row_group_size=32)
@@ -1566,14 +1635,14 @@ SELECT w.doc_id,
        CASE WHEN d.is_dup THEN 'exact_dup'
             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
             WHEN NOT q.quality_ok THEN 'low_quality'
-            WHEN NOT r.rep_ok THEN 'repetitive'
+            WHEN NOT coalesce(r.rep_ok, true) THEN 'repetitive'
        END AS reason,
        CAST(d.is_dup = false AND c.doc_id IS NULL
-            AND q.quality_ok AND r.rep_ok AS INT) AS keep
+            AND q.quality_ok AND coalesce(r.rep_ok, true) AS INT) AS keep
 FROM words w
 JOIN dup d USING (doc_id)
 JOIN qual q USING (doc_id)
-JOIN rep r USING (doc_id)
+LEFT JOIN rep r USING (doc_id)
 LEFT JOIN contam c USING (doc_id)
 """
 
@@ -1608,7 +1677,13 @@ def d25(spark, sf):
         "doc_id", (F.col("keep") == 1).alias("rep_ok")
     )
     j = (
-        base.join(rep, "doc_id")
+        # LEFT join + coalesce(true): docs with < 2 words emit no
+        # 2-grams and are absent from d24's stats — they must still get
+        # a (vacuously non-repetitive) curation row, their reject reason
+        # being low_quality via the word-count gate (round-4 ADVICE fix:
+        # the decision is total over the corpus)
+        base.join(rep, "doc_id", "left")
+        .withColumn("rep_ok", F.coalesce("rep_ok", F.lit(True)))
         .join(contam, "doc_id", "left")
         .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
     )
@@ -1642,42 +1717,172 @@ def d26(spark, sf):
     survives). Returns (vec_id, component, keep) — the drop-list a user
     applies before training on an embedding-deduped corpus. Every stage
     is the same bucketed/linear shape as its standalone op."""
-    emb = t(spark, sf, "embeddings")
-    dim, _ = embedding_dim_and_dropped(emb)
-    e = emb.select(
-        "vec_id", "embedding",
-        F.explode(_hyperplane_buckets_udf(dim)("embedding")).alias("bucket"),
-    ).filter(F.col("bucket") >= 0)
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket")
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "bucket")
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("vb") > F.col("va"))
-        .select("va", "vb", "ea", "eb")
-        .dropDuplicates(["va", "vb"])
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v_: acc + v_,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v_: acc + v_,
+    return embedding_dedup_pipeline(t(spark, sf, "embeddings"), threshold=0.30)
+
+
+def embedding_dedup_pipeline(emb, threshold: float):
+    """d26's reusable core over any (vec_id, embedding) DataFrame: LSH
+    candidate id pairs (capped, ids-only shuffle) → slim join-back →
+    exact double cosine >= threshold → components → keep. d28 runs this
+    exact code over a planted near-dup fixture where LSH candidate
+    recall at the threshold is 1.0 by construction, so DuckDB can
+    brute-force the same (vec_id, component, keep) answer — the full
+    value oracle for the pipeline."""
+    pairs = _hyperplane_id_pairs(emb)  # ids-only shuffle, capped hot buckets
+    ea = emb.select(F.col("vec_id").alias("ua"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("ub"), F.col("embedding").alias("eb"))
+    verified = (
+        pairs.join(ea, "ua")
+        .join(eb, "ub")
+        .select(
+            F.col("ua").alias("a"), F.col("ub").alias("b"),
+            _cosine(F.col("ea"), F.col("eb")).alias("cos"),
         )
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b")
     )
-    verified = pairs.select(
-        F.col("va").alias("a"), F.col("vb").alias("b"),
-        (dot / norm(F.col("ea")) / norm(F.col("eb"))).alias("cos"),
-    ).filter(F.col("cos") >= 0.30).select("a", "b")
     cc = _connected_components(verified)
     return cc.select(
         F.col("id").alias("vec_id"),
         "component",
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+# d28 golden fixture: planted near-dup chains where the hyperplane-LSH
+# candidate recall at the verify threshold is 1.0 by construction —
+# adjacent chain members sit at cosine ~0.96 (a >=0.90-cosine pair is
+# missed by all 32 OR-tables with probability < 1e-6, and the store is
+# seeded so one green run pins it forever). Cross-group / singleton
+# pairs sit below ~0.6 (dim-64 random unit vectors) and chain
+# k-th-neighbor cosines (~0.96^k) land no closer than ~0.01 to the 0.90
+# threshold (pinned by test_neardup_store_dead_band) — 13 orders of
+# magnitude above any float-summation-order ulp, so no edge can flip
+# between engines.
+_NEARDUP_GROUP_SIZES = (2, 3, 4, 5, 6) * 5  # 25 groups, 100 member vectors
+_NEARDUP_SINGLETONS = 200
+_NEARDUP_DIM = 64
+_NEARDUP_THRESHOLD = 0.90
+_NEARDUP_VERSION = "v2"  # v2: salt-rejection loop enforces the dead band
+
+
+def neardup_store_dir() -> str:
+    """Deterministic near-dup embedding store under the per-user cache
+    (same atomic-rename pattern as av_store_dir)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conf import cache_root
+
+    d = os.path.join(cache_root(), f"neardup_store_{_NEARDUP_VERSION}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        # Deterministic per-group salt-rejection: each dup chain takes
+        # the first salt whose INTERNAL pairwise cosines all sit >=
+        # 0.005 away from the verify threshold (the k-th-neighbor
+        # cosines ~0.96^k straddle 0.90, so a chain occasionally lands a
+        # pair inside the band — regenerate just that chain). Cross-
+        # group / singleton pairs are random dim-64 unit vectors (< ~0.6
+        # cosine); the final global assert pins the whole store. The
+        # dead band is thus a structural property of the shipped
+        # fixture, not a lucky draw.
+        vecs: list[np.ndarray] = []
+        for g, size in enumerate(_NEARDUP_GROUP_SIZES):
+            for salt in range(256):
+                rng = np.random.Generator(np.random.PCG64(1000 * g + salt))
+                chain = [rng.standard_normal(_NEARDUP_DIM)]
+                chain[0] /= np.linalg.norm(chain[0])
+                for _ in range(size - 1):
+                    v = chain[-1] + 0.036 * rng.standard_normal(_NEARDUP_DIM)
+                    chain.append(v / np.linalg.norm(v))
+                G = np.stack(chain)
+                gc = (G @ G.T)[np.triu_indices(size, k=1)]
+                if size < 2 or np.abs(gc - _NEARDUP_THRESHOLD).min() > 0.005:
+                    vecs.extend(chain)
+                    break
+            else:  # pragma: no cover — 256 straight rejections
+                raise RuntimeError(f"neardup store: group {g} never cleared the band")
+        srng = np.random.Generator(np.random.PCG64(999))
+        for _ in range(_NEARDUP_SINGLETONS):
+            v = srng.standard_normal(_NEARDUP_DIM)
+            vecs.append(v / np.linalg.norm(v))
+        X = np.stack(vecs)
+        allc = (X @ X.T)[np.triu_indices(len(X), k=1)]
+        if np.abs(allc - _NEARDUP_THRESHOLD).min() <= 0.005:  # pragma: no cover
+            raise RuntimeError("neardup store: cross-pair landed in the dead band")
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        if os.path.isdir(d) and not os.path.exists(marker):
+            # stale partial store from a crashed build; re-check the
+            # marker right before deleting so a concurrent generator's
+            # just-renamed COMPLETE store is never clobbered
+            shutil.rmtree(d, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix=".neardup_store_build_", dir=cache_root())
+        pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"), row_group_size=64)
+        open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
+        try:
+            os.rename(tmp, d)  # atomic: readers see all-or-nothing
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def d28_oracle_sql() -> str:
+    """Lazy (embeds the generated fixture path): brute-force ALL pairs
+    at cosine >= threshold in DuckDB — no LSH, no cap — then recursive-
+    CTE components. Matching d28's LSH→verify→components answer proves
+    the whole approximate pipeline end-to-end on a store where its
+    recall is 1.0 by construction."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum')) AS nrm
+  FROM read_parquet('{neardup_store_dir()}/embeddings.parquet')
+), edges AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM v a JOIN v b ON b.vec_id > a.vec_id
+  WHERE list_aggregate(list_transform(a.embedding,
+            (x, i) -> x * b.embedding[i]), 'sum') / a.nrm / b.nrm
+        >= {_NEARDUP_THRESHOLD}
+),
+verts AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+bidir AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+cc AS (
+  WITH RECURSIVE r(id, label) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.a, r.label FROM r JOIN bidir e ON e.b = r.id WHERE r.label < e.a
+  )
+  SELECT id, min(label) AS component FROM r GROUP BY id
+)
+SELECT id AS vec_id, component, (id = component) AS keep FROM cc
+"""
+
+
+@q("d28_embedding_dedup_golden")  # oracle registered lazily (embeds store path)
+def d28(spark, sf):
+    """d26's pipeline under a FULL value oracle (VERDICT r3 #4): the
+    exact embedding_dedup_pipeline code — capped LSH candidates,
+    ids-only shuffle, slim join-back, exact cosine verify, star-
+    contraction components, keep decision — over the deterministic
+    planted near-dup store, where DuckDB can brute-force the same
+    (vec_id, component, keep) drop-list. sf_dir is ignored (own fixture,
+    the x03/x06/x08 precedent)."""
+    import os
+
+    emb = spark.read.parquet(os.path.join(neardup_store_dir(), "embeddings.parquet"))
+    return embedding_dedup_pipeline(emb, threshold=_NEARDUP_THRESHOLD)
 
 
 _D27_SQL = """

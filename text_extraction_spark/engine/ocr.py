@@ -104,7 +104,13 @@ def extract_table(gray: np.ndarray, detector: str = "auto") -> str:
                 _text, dist, nslots = _decode_grid(
                     mask2, r2, c2, offset_search=False, return_score=True
                 )
-                mean = dist / max(nslots, 1)
+                if nslots == 0:
+                    # spurious rulings with zero glyph slots decode to
+                    # pipe-only empty text with mean 0.0, which would
+                    # beat every genuine decode (round-4 ADVICE fix) —
+                    # never let such an angle win
+                    continue
+                mean = dist / nslots
                 if best is None or mean < best[0]:
                     best = (mean, mask2, r2, c2)
             if best is not None:

@@ -89,27 +89,42 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return out
 
 
+# PDF's whitespace is exactly these six bytes (ISO 32000-1 §7.2.3,
+# Table 1) — chr(c).isspace() would additionally strip 0x0B and, worse,
+# treat bytes like 0xA0 (U+00A0 NBSP) as whitespace (round-4 ADVICE fix)
+_PDF_WS = frozenset(b"\x00\t\n\x0c\r ")
+
+
 def _ascii_hex_decode(data: bytes) -> bytes:
     """ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
-    ignored, '>' EOD, odd final digit padded with 0."""
+    ignored, '>' EOD, odd final digit padded with 0. Malformed input
+    returns unchanged — the same passthrough contract as unknown
+    filters (a wrong passthrough parses to garbage, never a crash)."""
     body = data.split(b">")[0]
-    hexdigits = bytes(c for c in body if not chr(c).isspace())
+    hexdigits = bytes(c for c in body if c not in _PDF_WS)
     if len(hexdigits) % 2:
         hexdigits += b"0"
-    return bytes.fromhex(hexdigits.decode("ascii"))
+    try:
+        return bytes.fromhex(hexdigits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return data
 
 
 def _ascii85_decode(data: bytes) -> bytes:
     """ASCII85Decode (ISO 32000-1 §7.4.3): base-85 groups, 'z' = four
     zero bytes, '~>' EOD, partial final group. stdlib a85decode
-    implements exactly this once whitespace/EOD are normalized."""
+    implements exactly this once whitespace/EOD are normalized.
+    Malformed input returns unchanged (passthrough contract)."""
     import base64
 
     body = data.split(b"~>")[0]
-    body = bytes(c for c in body if not chr(c).isspace())
+    body = bytes(c for c in body if c not in _PDF_WS)
     if body.startswith(b"<~"):
         body = body[2:]
-    return base64.a85decode(body)
+    try:
+        return base64.a85decode(body)
+    except ValueError:
+        return data
 
 
 def _decode_stream(head: bytes, stream: bytes) -> bytes:

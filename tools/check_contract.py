@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Full driver-contract self-check: run EVERY __spark_entry__.queries()
+entry at sf0.01 and compare against its oracle_sql() twin in DuckDB
+(row count + schema + order-insensitive value hash), mirroring the
+driver's CORRECTNESS_rN harness — including entries past the driver's
+50-cap, so nothing goes externally stale without being locally green.
+
+Usage: python tools/check_contract.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
+    sf = "/root/testdata/sf0.01"
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--sf":
+            sf = sys.argv[1:][i + 1]
+            args = [x for x in args if x != sf]
+
+    import __spark_entry__ as entry
+    from text_extraction_spark.conf import get_spark
+    from text_extraction_spark.oracle_check import compare, duckdb_con
+
+    spark = get_spark("local[16]", app_name="contract-check", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    con = duckdb_con(sf)
+    n_fail = 0
+    t0 = time.monotonic()
+    for name, fn in qs.items():
+        if args and name not in args:
+            continue
+        try:
+            if name in oracles:
+                r = compare(fn(spark, sf), con, oracles[name])
+                ok = r.get("count_match") and r.get("schema_match") and r.get("values_match")
+            else:
+                r = {"rows_spark": fn(spark, sf).count(), "rows_only": True}
+                ok = r["rows_spark"] >= 0
+        except Exception as e:  # noqa: BLE001 — report, keep going
+            r, ok = {"err": repr(e)[:300]}, False
+        if not ok:
+            n_fail += 1
+            print(f"FAIL {name}: {json.dumps(r, default=str)[:400]}")
+        else:
+            print(f"ok   {name}" + ("  (rows-only)" if r.get("rows_only") else ""))
+    print(
+        f"done: {len(qs) if not args else len(args)} entries, {n_fail} failures, "
+        f"{time.monotonic() - t0:.1f}s, oracle-backed={len(oracles)}"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
