@@ -107,11 +107,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS file records only the FIRST 50 queries()
 # entries; oracle-backed entries are emitted first and rows-only entries
-# (pre-declared ⊘ in SURVEY §2) last. With 59 oracle-backed entries and
-# a 50-entry cap, 9 sit past the cap each round — ROTATED per round
+# (pre-declared ⊘ in SURVEY §2) last. With 61 oracle-backed entries and
+# a 50-entry cap, 11 sit past the cap each round — ROTATED per round
 # (VERDICT r3 #5) so no oracle-backed query's external record goes more
 # than one round stale. Round 3 demoted q18–q23/q36/q37; round 4
-# promotes those eight back and demotes nine dataops entries that went
+# promotes those eight back and demotes eleven dataops entries that went
 # driver-green in CORRECTNESS_r03 (all still DuckDB-checked locally
 # every session by tools/check_contract.py + pytest).
 _CAP_TAIL = (
@@ -119,7 +119,9 @@ _CAP_TAIL = (
     "d07_token_count",
     "d08_quality_score",
     "d10_fingerprint",
+    "d12_embedding_cosine_near_dup",
     "d16_pii_scrub",
+    "d17_paragraph_dedup",
     "d18_stratified_sample",
     "d23_decontaminate",
     "d24_repetition_filter",
@@ -146,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "x03_extract_corpus_pipeline",
             "x06_media_table_ocr",
             "d28_embedding_dedup_golden",
+            "d29_ann_ivf_golden",
+            "d30_dedup_pipeline_golden",
         }
     )
     ordered = (
@@ -174,4 +178,8 @@ def oracle_sql() -> dict[str, str]:
     # d28 — embedding-dedup pipeline vs DuckDB brute-force + recursive-CTE
     # components over the planted near-dup store (embeds the store path)
     out["d28_embedding_dedup_golden"] = dataops.d28_oracle_sql()
+    # d29/d30 — the IVF and corpus-dedup pipelines vs DuckDB brute force
+    # on their planted golden stores (embed the store paths)
+    out["d29_ann_ivf_golden"] = dataops.d29_oracle_sql()
+    out["d30_dedup_pipeline_golden"] = dataops.d30_oracle_sql()
     return out

@@ -172,6 +172,75 @@ def test_neardup_store_dead_band():
     assert (cos[iu] < dataops._NEARDUP_THRESHOLD).sum() > 1000
 
 
+def test_d29_d30_golden_match_duckdb_oracles(spark):
+    """d29/d30 (round 4): the IVF top-3 and MinHash-dedup pipelines must
+    reproduce DuckDB's brute-force answers on their planted stores —
+    both approximate paths are now value-verified end-to-end."""
+    import duckdb
+
+    from text_extraction_spark.oracle_check import compare
+
+    for name, sql in (
+        ("d29_ann_ivf_golden", dataops.d29_oracle_sql()),
+        ("d30_dedup_pipeline_golden", dataops.d30_oracle_sql()),
+    ):
+        r = compare(dataops.QUERIES[name](spark, SF), duckdb.connect(), sql)
+        assert r["count_match"] and r["schema_match"] and r["values_match"], (name, r)
+
+
+def test_golden_store_separation_properties():
+    """The planted stores must keep their structural margins: d29 —
+    intra-cluster cosine far above inter-cluster (top-3 always in
+    cluster); d30 — intra-group word-Jaccard far above the 0.5 verify
+    threshold, cross pairs far below (candidate recall 1.0 + no
+    boundary sensitivity)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    X = np.array(
+        pq.read_table(
+            os.path.join(dataops.ivf_store_dir(), "embeddings.parquet")
+        ).column("embedding").to_pylist()
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    m = dataops._IVFG_MEMBERS
+    for c in range(dataops._IVFG_CLUSTERS):
+        blk = cos[c * m : (c + 1) * m, c * m : (c + 1) * m]
+        assert blk.min() > 0.97
+    inter = cos.copy()
+    for c in range(dataops._IVFG_CLUSTERS):
+        inter[c * m : (c + 1) * m, c * m : (c + 1) * m] = 0
+    assert inter.max() < 0.8
+
+    texts = (
+        pq.read_table(
+            os.path.join(dataops.dedup_corpus_store_dir(), "documents.parquet")
+        ).column("text").to_pylist()
+    )
+    words = [set(t.split()) for t in texts]
+    gid = []
+    for g, size in enumerate(dataops._DDG_GROUP_SIZES):
+        gid += [g] * size
+    gid += [-1 - i for i in range(dataops._DDG_SINGLETONS)]
+    jac = lambda a, b: len(a & b) / len(a | b)
+    intra = [
+        jac(words[i], words[j])
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if gid[i] == gid[j] and gid[i] >= 0
+    ]
+    assert min(intra) >= 0.75, min(intra)
+    cross = max(
+        jac(words[i], words[j])
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if gid[i] != gid[j]
+    )
+    assert cross <= 0.3, cross
+
+
 def _simhash_reference(s: str) -> int:
     """The SimHash definition as a straight-line per-document twin (one
     hash_array call per word) — the batched UDF must reproduce it

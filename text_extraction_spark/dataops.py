@@ -518,6 +518,24 @@ _IVF_ITERS = 5
 _ivf_cache: dict = {}
 
 
+def _spherical_kmeans(X: np.ndarray, k: int = None, iters: int = None) -> np.ndarray:
+    """Seeded spherical k-means on a driver-side sample matrix —
+    deterministic (PCG64(42), fixed iterations) across processes."""
+    k = _IVF_K if k is None else k
+    iters = _IVF_ITERS if iters is None else iters
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.Generator(np.random.PCG64(42))
+    C = X[rng.choice(len(X), min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j_ in range(len(C)):
+            m = assign == j_
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j_] = c / np.linalg.norm(c)
+    return C
+
+
 def _ivf_centroids(spark, sf) -> np.ndarray:
     """Seeded spherical k-means on <= _IVF_TRAIN_CAP sample vectors —
     deterministic, bounded driver memory at any corpus size."""
@@ -534,18 +552,8 @@ def _ivf_centroids(spark, sf) -> np.ndarray:
     # Train only on the canonical dim (dim of the first sample vector) —
     # a stray wrong-dim row must not crash np.stack or skew centroids.
     X = np.stack([v for v in vecs if v.shape == vecs[0].shape])
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.Generator(np.random.PCG64(42))
-    C = X[rng.choice(len(X), min(_IVF_K, len(X)), replace=False)].copy()
-    for _ in range(_IVF_ITERS):
-        assign = np.argmax(X @ C.T, axis=1)
-        for j_ in range(len(C)):
-            m = assign == j_
-            if m.any():
-                c = X[m].mean(axis=0)
-                C[j_] = c / np.linalg.norm(c)
-    _ivf_cache[key] = C
-    return C
+    _ivf_cache[key] = _spherical_kmeans(X)
+    return _ivf_cache[key]
 
 
 def _ivf_cells_udf(C: np.ndarray, nprobe: int):
@@ -581,16 +589,23 @@ def d15(spark, sf):
     probe cells are distinct, so each (q, v) pair matches at most once —
     no dedup aggregate needed. Work scales with cell occupancy × nprobe,
     never corpus²."""
-    C = _ivf_centroids(spark, sf)
+    return ivf_topk(t(spark, sf, "embeddings"), _ivf_centroids(spark, sf))
+
+
+def ivf_topk(e, C: np.ndarray):
+    """d15's reusable core over any (vec_id, embedding) DataFrame given
+    trained centroids: home-cell assignment, nprobe probing, exact
+    cosine re-rank top-3. d29 runs this exact code over the planted
+    cluster store where probe coverage makes recall 1.0 by construction,
+    licensing a brute-force DuckDB value oracle."""
     home = _ivf_cells_udf(C, 1)
     probe = _ivf_cells_udf(C, _IVF_NPROBE)
-    e = t(spark, sf, "embeddings")
     _, dropped = embedding_dim_and_dropped(e)
     if dropped:
         import warnings
 
         warnings.warn(
-            f"d15 IVF ANN: {dropped} rows dropped (embedding dim != centroid dim)",
+            f"IVF ANN: {dropped} rows dropped (embedding dim != centroid dim)",
             stacklevel=2,
         )
     data = e.select(
@@ -602,21 +617,9 @@ def d15(spark, sf):
         F.explode(probe("embedding")).alias("cell"),
     ).filter(F.col("cell") >= 0)
     j = qs.join(data, "cell").filter(F.col("vec_id") != F.col("q_id"))
-    dot = F.aggregate(
-        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
     sims = j.select(
         "q_id", "vec_id",
-        F.round(dot / norm(F.col("embedding")) / norm(F.col("qe")), 4).alias("cosine"),
+        F.round(_cosine(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
@@ -1275,8 +1278,17 @@ def d20(spark, sf):
     keep = the component's min doc_id survives, the rest are the dedup
     DROP list. Every stage is bucketed/linear; the only iteration is
     the O(diameter) component loop."""
-    pairs = d02(spark, sf)
-    d = t(spark, sf, "documents").select(
+    return corpus_dedup_pipeline(t(spark, sf, "documents"))
+
+
+def corpus_dedup_pipeline(docs):
+    """d20's reusable core over any (doc_id, text) DataFrame: MinHash+
+    LSH candidates → exact word-Jaccard verify >= 0.5 → components →
+    keep. d30 runs this exact code over the planted near-dup corpus
+    where the candidate recall at the verify threshold is 1.0 by
+    construction, licensing a brute-force DuckDB value oracle."""
+    pairs = minhash_candidates(docs)
+    d = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
@@ -1883,6 +1895,213 @@ def d28(spark, sf):
 
     emb = spark.read.parquet(os.path.join(neardup_store_dir(), "embeddings.parquet"))
     return embedding_dedup_pipeline(emb, threshold=_NEARDUP_THRESHOLD)
+
+
+# d29 golden fixture: 20 tight clusters (intra-cosine ~0.995) of 15
+# members each, dim 32, no singletons — every vector's true top-3 are
+# cluster-mates, and the cells holding a query's near-identical twins
+# have centroids maximally similar to the query, so the nprobe=14 probe
+# set always covers them: IVF recall is 1.0 by construction and DuckDB
+# can brute-force the exact same top-3. Both engines rank by (cosine
+# ROUNDED to 4dp desc, vec_id asc) — the d27 lesson — so the dense 4dp
+# ties inside a tight cluster break identically.
+_IVFG_CLUSTERS = 20
+_IVFG_MEMBERS = 15
+_IVFG_DIM = 32
+_IVFG_VERSION = "v1"
+
+
+def ivf_store_dir() -> str:
+    """Deterministic clustered embedding store under the per-user cache
+    (same atomic-rename pattern as av_store_dir)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conf import cache_root
+
+    d = os.path.join(cache_root(), f"ivf_store_{_IVFG_VERSION}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        rng = np.random.Generator(np.random.PCG64(23))
+        vecs: list[np.ndarray] = []
+        for _c in range(_IVFG_CLUSTERS):
+            center = rng.standard_normal(_IVFG_DIM)
+            center /= np.linalg.norm(center)
+            for _m in range(_IVFG_MEMBERS):
+                v = center + 0.018 * rng.standard_normal(_IVFG_DIM)
+                vecs.append(v / np.linalg.norm(v))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+        if os.path.isdir(d) and not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix=".ivf_store_build_", dir=cache_root())
+        pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"), row_group_size=64)
+        open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def d29_oracle_sql() -> str:
+    """Lazy (embeds the fixture path): brute-force ALL-pairs cosine,
+    round to 4dp, rank per query by (cosine desc, vec_id), top-3 —
+    no cells, no probing."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum')) AS nrm
+  FROM read_parquet('{ivf_store_dir()}/embeddings.parquet')
+), sims AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         round(list_aggregate(list_transform(a.embedding,
+                   (x, i) -> x * b.embedding[i]), 'sum') / a.nrm / b.nrm, 4) AS cosine
+  FROM v a JOIN v b ON b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT q_id, vec_id, cosine FROM ranked WHERE rn <= 3
+"""
+
+
+@q("d29_ann_ivf_golden")  # oracle registered lazily (embeds store path)
+def d29(spark, sf):
+    """d15's IVF pipeline under a FULL value oracle: the exact ivf_topk
+    code — seeded spherical k-means centroids, home-cell assignment,
+    nprobe probing, exact cosine re-rank — over the planted cluster
+    store, where DuckDB brute-forces the same per-query top-3. sf_dir is
+    ignored (own fixture, the x03/d28 precedent)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(ivf_store_dir(), "embeddings.parquet")
+    # centroid training mirrors _ivf_centroids' faiss shape: a bounded
+    # driver-side sample (here the whole 300-vector store)
+    X = np.array(pq.read_table(p).column("embedding").to_pylist())
+    C = _spherical_kmeans(X)
+    return ivf_topk(spark.read.parquet(p), C)
+
+
+# d30 golden fixture: planted word-substitution dup groups where the
+# MinHash-LSH candidate recall at the 0.5 word-Jaccard verify threshold
+# is 1.0 by construction — group variants differ from their base only in
+# the LAST 2 words (word-Jaccard ~0.90, 3-shingle Jaccard ~0.8 → a pair
+# escapes all 32 bands with probability ~1e-8), while cross-group docs
+# share ~3 of 40 words from a 500-word vocabulary (Jaccard ~0.04).
+# One green run pins the seeded store forever.
+_DDG_GROUP_SIZES = (2, 3, 4, 5) * 5  # 20 groups, 70 member docs
+_DDG_SINGLETONS = 100
+_DDG_WORDS_PER_DOC = 40
+_DDG_VOCAB = 500
+_DDG_VERSION = "v1"
+
+
+def dedup_corpus_store_dir() -> str:
+    """Deterministic near-dup document store under the per-user cache
+    (same atomic-rename pattern as av_store_dir)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conf import cache_root
+
+    d = os.path.join(cache_root(), f"dedup_corpus_store_{_DDG_VERSION}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        rng = np.random.Generator(np.random.PCG64(31))
+        vocab = [f"w{i:03d}" for i in range(_DDG_VOCAB)]
+        texts: list[str] = []
+
+        def sample_words(k: int) -> list[str]:
+            return [vocab[int(i)] for i in rng.choice(_DDG_VOCAB, k, replace=False)]
+
+        for size in _DDG_GROUP_SIZES:
+            base = sample_words(_DDG_WORDS_PER_DOC)
+            texts.append(" ".join(base))
+            for _v in range(size - 1):
+                variant = base[:-2] + sample_words(2)
+                texts.append(" ".join(variant))
+        for _s in range(_DDG_SINGLETONS):
+            texts.append(" ".join(sample_words(_DDG_WORDS_PER_DOC)))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        if os.path.isdir(d) and not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix=".dedup_corpus_build_", dir=cache_root())
+        pq.write_table(tbl, os.path.join(tmp, "documents.parquet"), row_group_size=64)
+        open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def d30_oracle_sql() -> str:
+    """Lazy (embeds the fixture path): brute-force ALL-pairs word-set
+    Jaccard >= 0.5 edges — no MinHash, no banding — then recursive-CTE
+    components and the keep decision."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+  FROM read_parquet('{dedup_corpus_store_dir()}/documents.parquet')
+), edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM docs a JOIN docs b ON b.doc_id > a.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
+        >= 0.5
+),
+verts AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+bidir AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+cc AS (
+  WITH RECURSIVE r(id, label) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.a, r.label FROM r JOIN bidir e ON e.b = r.id WHERE r.label < e.a
+  )
+  SELECT id, min(label) AS component FROM r GROUP BY id
+)
+SELECT id AS doc_id, component, (id = component) AS keep FROM cc
+"""
+
+
+@q("d30_dedup_pipeline_golden")  # oracle registered lazily (embeds store path)
+def d30(spark, sf):
+    """d20's corpus-dedup pipeline under a FULL value oracle: the exact
+    corpus_dedup_pipeline code — MinHash signatures, banded LSH
+    candidates with the hot-bucket star cap, exact word-Jaccard verify,
+    star-contraction components, keep decision — over the planted
+    near-dup corpus, where DuckDB brute-forces the same
+    (doc_id, component, keep) drop-list. sf_dir is ignored (own
+    fixture)."""
+    import os
+
+    docs = spark.read.parquet(
+        os.path.join(dedup_corpus_store_dir(), "documents.parquet")
+    )
+    return corpus_dedup_pipeline(docs)
 
 
 _D27_SQL = """
