@@ -241,6 +241,35 @@ def test_golden_store_separation_properties():
     assert cross <= 0.3, cross
 
 
+def test_minhash_batched_matches_per_doc_reference():
+    """Round-4 reduceat batching must be bit-identical to the per-doc
+    definition ((a·x+b) mod 2³¹−1 min over crc32 shingle keys),
+    regardless of how documents share a batch or chunk boundaries."""
+    import zlib
+
+    p = (1 << 31) - 1
+    rng = np.random.Generator(np.random.PCG64(42))
+    a = rng.integers(1, p, dataops._MINHASH_PERMS, dtype=np.int64)[:, None]
+    b = rng.integers(0, p, dataops._MINHASH_PERMS, dtype=np.int64)[:, None]
+
+    def ref(s: str) -> list[int]:
+        words = (s or "").split()
+        sh = {" ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))}
+        xs = np.fromiter(
+            (zlib.crc32(x.encode()) & 0x7FFFFFFF for x in sh), dtype=np.int64, count=len(sh)
+        )[None, :]
+        return [int(v) for v in ((a * xs + b) % p).min(axis=1)]
+
+    rng2 = np.random.Generator(np.random.PCG64(5))
+    vocab = [f"t{i}" for i in range(50)]
+    texts = [""] + [
+        " ".join(vocab[int(j)] for j in rng2.integers(0, 50, int(n)))
+        for n in rng2.integers(1, 300, 40)
+    ]
+    got = dataops.minhash_sig_udf.func(pd.Series(texts)).tolist()
+    assert got == [ref(s) for s in texts]
+
+
 def _simhash_reference(s: str) -> int:
     """The SimHash definition as a straight-line per-document twin (one
     hash_array call per word) — the batched UDF must reproduce it
