@@ -107,15 +107,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS file records only the FIRST 50 queries()
 # entries; oracle-backed entries are emitted first and rows-only entries
-# (pre-declared ⊘ in SURVEY §2) last. With 61 oracle-backed entries and
-# a 50-entry cap, 11 sit past the cap each round — ROTATED per round
+# (pre-declared ⊘ in SURVEY §2) last. With 63 oracle-backed entries and
+# a 50-entry cap, 13 sit past the cap each round — ROTATED per round
 # (VERDICT r3 #5) so no oracle-backed query's external record goes more
 # than one round stale. Round 3 demoted q18–q23/q36/q37; round 4
-# promotes those eight back and demotes eleven dataops entries that went
-# driver-green in CORRECTNESS_r03 (all still DuckDB-checked locally
+# promotes those eight back and demotes thirteen dataops entries that
+# went driver-green in CORRECTNESS_r03 (all still DuckDB-checked locally
 # every session by tools/check_contract.py + pytest).
 _CAP_TAIL = (
     "d04_ngram_jaccard",
+    "d05_ann_cosine_bruteforce",
     "d07_token_count",
     "d08_quality_score",
     "d10_fingerprint",
@@ -123,6 +124,7 @@ _CAP_TAIL = (
     "d16_pii_scrub",
     "d17_paragraph_dedup",
     "d18_stratified_sample",
+    "d19_dedup_components",
     "d23_decontaminate",
     "d24_repetition_filter",
     "d27_tfidf_topk",

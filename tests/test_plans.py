@@ -190,6 +190,27 @@ def test_ann_bucket_exchange_carries_ids_only(spark):
                 assert "embedding" not in b.lower(), (name, b)
 
 
+def test_vocab_topk_never_full_sort(spark):
+    """d32 (round 4): the global top-K over the vocabulary must be a
+    TakeOrderedAndProject — a full Sort of a 100 TB corpus's vocab
+    table would be the bottleneck; the only Sort allowed is the
+    constant-size window over the K selected rows."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops.QUERIES["d32_vocab_coverage"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort [") <= 1  # the 200-row window sort only
+
+
+def test_lm_score_pure_jvm(spark):
+    """d31 (round 4): the unigram-LM scorer must stay entirely JVM-side
+    with the corpus total broadcast."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops.QUERIES["d31_unigram_lm_score"](spark, SF))
+    assert "EvalPython" not in plan
+
+
 def test_media_ocr_query_no_shuffle(spark):
     """x06: the media extraction query is scan → UDF project — image
     bytes must never cross an Exchange."""

@@ -2136,6 +2136,99 @@ def d30(spark, sf):
     return corpus_dedup_pipeline(docs)
 
 
+_D31_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+tot AS (SELECT count(*) AS n FROM words),
+scored AS (
+  SELECT w.doc_id, -ln(CAST(wc.c AS DOUBLE) / tot.n) AS nll
+  FROM words w JOIN wc USING (word) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+       round(avg(nll), 4) AS lm_score
+FROM scored GROUP BY doc_id
+"""
+
+
+@q("d31_unigram_lm_score", _D31_SQL)
+def d31(spark, sf):
+    """CCNet-style unigram-LM quality score: train word frequencies on
+    the corpus itself (one explode + groupBy, map-side combine), score
+    every document by its mean per-word negative log-likelihood — the
+    classic 'how surprising is this doc under the corpus LM' filter
+    (low = boilerplate-ish/common, high = rare-token noise). Shape at
+    100 TB: the word-frequency table joins by word (uniform-ish keys,
+    AQE handles stopword skew), the corpus total rides as ONE broadcast
+    scalar, and the per-doc reduce is a partial-agg groupBy — two
+    shuffles total, no self-joins, no Python."""
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = words.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        words.join(wc, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (-F.log(F.col("c").cast("double") / F.col("n"))).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.round(F.avg("nll"), 4).alias("lm_score"),
+    )
+
+
+_D32_TOP = 200
+
+_D32_SQL = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+tot AS (SELECT count(*) AS n FROM words),
+ranked AS (
+  SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rank FROM wc
+),
+top AS (SELECT * FROM ranked WHERE rank <= {_D32_TOP})
+SELECT CAST(rank AS INT) AS rank, word, c AS count,
+       round(CAST(sum(c) OVER (ORDER BY rank) AS DOUBLE)
+             / (SELECT n FROM tot), 6) AS cum_frac
+FROM top
+"""
+
+
+@q("d32_vocab_coverage", _D32_SQL)
+def d32(spark, sf):
+    """Top-K vocabulary with cumulative corpus coverage — the first step
+    of building a tokenizer vocab (BPE init / vocab pruning): which K
+    words cover what fraction of all tokens. Shape at 100 TB: word
+    counts partial-aggregate map-side, the global top-K is a
+    TakeOrdered (never a full sort of the vocabulary), and the running
+    coverage sum is ONE window over the K selected rows (constant-size)
+    against a broadcast total. cum_frac is an exact integer ratio, so
+    both engines round identically."""
+    docs = t(spark, sf, "documents").select("text")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = words.agg(F.count(F.lit(1)).alias("n"))
+    top = wc.orderBy(F.col("c").desc(), "word").limit(_D32_TOP)
+    w_rank = Window.orderBy(F.col("c").desc(), "word")
+    ranked = top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rank", "word", F.col("c").alias("count"),
+            F.round(
+                F.sum("c").over(w_cum).cast("double") / F.col("n"), 6
+            ).alias("cum_frac"),
+        )
+    )
+
+
 _D27_SQL = """
 WITH terms AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
