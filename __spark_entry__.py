@@ -3,9 +3,9 @@
 entry(spark)   — flagship: the fused extraction UDF chain + relational
                  aggregation over sf0.001 testdata.
 queries()      — every implemented operator from SURVEY.md §2:
-                 Q1–Q42 relational plane (relational.py), extraction
+                 Q1–Q43 relational plane (relational.py), extraction
                  plane A1–A20 / x01–x08 (extraction_queries.py), and
-                 the training-data ops plane d01–d26 (dataops.py);
+                 the training-data ops plane d01–d33 (dataops.py);
                  oracle-backed entries are emitted first so the
                  driver's 50-entry CORRECTNESS cap covers them all.
 oracle_sql()   — matching DuckDB SQL for every SQL-expressible query;
@@ -107,14 +107,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS file records only the FIRST 50 queries()
 # entries; oracle-backed entries are emitted first and rows-only entries
-# (pre-declared ⊘ in SURVEY §2) last. With 63 oracle-backed entries and
-# a 50-entry cap, 13 sit past the cap each round — ROTATED per round
+# (pre-declared ⊘ in SURVEY §2) last. With 64 oracle-backed entries and
+# a 50-entry cap, 14 sit past the cap each round — ROTATED per round
 # (VERDICT r3 #5) so no oracle-backed query's external record goes more
 # than one round stale. Round 3 demoted q18–q23/q36/q37; round 4
-# promotes those eight back and demotes thirteen dataops entries that
+# promotes those eight back and demotes fourteen dataops entries that
 # went driver-green in CORRECTNESS_r03 (all still DuckDB-checked locally
 # every session by tools/check_contract.py + pytest).
 _CAP_TAIL = (
+    "d01_dedup_exact",
     "d04_ngram_jaccard",
     "d05_ann_cosine_bruteforce",
     "d07_token_count",
@@ -152,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d28_embedding_dedup_golden",
             "d29_ann_ivf_golden",
             "d30_dedup_pipeline_golden",
+            "d33_simhash_golden",
         }
     )
     ordered = (
@@ -184,4 +186,5 @@ def oracle_sql() -> dict[str, str]:
     # on their planted golden stores (embed the store paths)
     out["d29_ann_ivf_golden"] = dataops.d29_oracle_sql()
     out["d30_dedup_pipeline_golden"] = dataops.d30_oracle_sql()
+    out["d33_simhash_golden"] = dataops.d33_oracle_sql()
     return out

@@ -2136,6 +2136,112 @@ def d30(spark, sf):
     return corpus_dedup_pipeline(docs)
 
 
+# d33 golden fixture: SimHash's 4×16-bit pigeonhole bucketing has
+# PROVABLY perfect recall at Hamming <= 3 (a <=3-bit difference cannot
+# touch all four blocks), so on any store the <=3 slice of
+# simhash_candidates must equal brute force EXACTLY — no probability
+# argument needed. The store plants one-word-substitution twins whose
+# signature distances are driven into [1..3] (candidates) and [4..6]
+# (excluded, exercising the boundary) by a per-twin rejection loop;
+# signatures are precomputed at build time with the same pinned
+# simhash definition (its per-word reference twin test pins the hash
+# itself) so DuckDB can brute-force xor/bit_count over the sig column.
+_SIMG_BASES = 150
+_SIMG_TWINS = 30
+_SIMG_VERSION = "v1"
+
+
+def simhash_store_dir() -> str:
+    """Deterministic SimHash twin store under the per-user cache (same
+    atomic-rename pattern as av_store_dir)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conf import cache_root
+
+    d = os.path.join(cache_root(), f"simhash_store_{_SIMG_VERSION}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        rng = np.random.Generator(np.random.PCG64(57))
+        vocab = [f"s{i:03d}" for i in range(800)]
+
+        def sample_doc() -> list[str]:
+            return [vocab[int(i)] for i in rng.choice(800, 40, replace=False)]
+
+        def sig_of(texts: list[str]) -> list[int]:
+            return simhash_udf.func(pd.Series(texts)).tolist()
+
+        texts = [" ".join(sample_doc()) for _ in range(_SIMG_BASES)]
+        base_sigs = sig_of(texts)
+        ham = lambda a, b: int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+        for i in range(_SIMG_TWINS):
+            lo, hi = (1, 3) if i % 2 == 0 else (4, 6)
+            words = texts[i].split()
+            for attempt in range(200):
+                cand = list(words)
+                cand[int(rng.integers(0, len(cand)))] = vocab[int(rng.integers(0, 800))]
+                s = sig_of([" ".join(cand)])[0]
+                if lo <= ham(s, base_sigs[i]) <= hi:
+                    texts.append(" ".join(cand))
+                    break
+            else:  # pragma: no cover — 200 straight rejections
+                raise RuntimeError(f"simhash store: twin {i} never hit [{lo},{hi}]")
+        sigs = sig_of(texts)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "sig": pa.array(sigs, pa.int64()),
+            }
+        )
+        if os.path.isdir(d) and not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix=".simhash_store_build_", dir=cache_root())
+        pq.write_table(tbl, os.path.join(tmp, "documents.parquet"), row_group_size=64)
+        open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def d33_oracle_sql() -> str:
+    """Lazy (embeds the fixture path): brute-force ALL pairs on the
+    precomputed signature column — no blocks, no buckets."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, sig FROM read_parquet('{simhash_store_dir()}/documents.parquet')
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM docs a JOIN docs b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+@q("d33_simhash_golden")  # oracle registered lazily (embeds store path)
+def d33(spark, sf):
+    """d03's SimHash bucketing under a FULL value oracle on its
+    provable-recall slice: the exact simhash_candidates code (UDF
+    signatures recomputed from text, 4-block pigeonhole buckets,
+    per-block equi joins, distinct, bit_count) filtered to Hamming <= 3,
+    where pigeonhole GUARANTEES the candidate set equals brute force.
+    sf_dir is ignored (own fixture)."""
+    import os
+
+    docs = spark.read.parquet(
+        os.path.join(simhash_store_dir(), "documents.parquet")
+    ).select("doc_id", "text")
+    return simhash_candidates(docs).filter(F.col("hamming") <= 3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 _D31_SQL = """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
