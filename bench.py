@@ -61,6 +61,8 @@ HEADLINE = [
     "d07_token_count",
     "d16_pii_scrub",
     "d17_paragraph_dedup",
+    "d31_unigram_lm_score",
+    "d32_vocab_coverage",
     "x01_main_content_extraction",
     "x08_pdf_text_extraction",
 ]

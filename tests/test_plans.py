@@ -202,13 +202,16 @@ def test_vocab_topk_never_full_sort(spark):
     assert plan.count("Sort [") <= 1  # the 200-row window sort only
 
 
-def test_lm_score_pure_jvm(spark):
-    """d31 (round 4): the unigram-LM scorer must stay entirely JVM-side
-    with the corpus total broadcast."""
+def test_lm_score_pure_jvm_frequency_split(spark):
+    """d31 (round 4): the unigram-LM scorer must stay entirely JVM-side,
+    and its Zipf-skew word join must be FREQUENCY-SPLIT — the hot head
+    vocabulary joins via broadcast (hot keys never shuffle); only the
+    near-uniform tail may shuffle-join."""
     from text_extraction_spark import dataops
 
     plan = _plan(dataops.QUERIES["d31_unigram_lm_score"](spark, SF))
     assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_media_ocr_query_no_shuffle(spark):

@@ -2258,6 +2258,13 @@ FROM scored GROUP BY doc_id
 """
 
 
+# The word→frequency join is the textbook Zipf-skew join: the hottest
+# ~1k words carry ~half of all token rows. Splitting by frequency —
+# broadcast-join the head vocabulary, shuffle-join only the long tail
+# (whose keys are near-uniform) — means the hot keys NEVER shuffle.
+_D31_HOT_WORDS = 1024
+
+
 @q("d31_unigram_lm_score", _D31_SQL)
 def d31(spark, sf):
     """CCNet-style unigram-LM quality score: train word frequencies on
@@ -2265,16 +2272,21 @@ def d31(spark, sf):
     every document by its mean per-word negative log-likelihood — the
     classic 'how surprising is this doc under the corpus LM' filter
     (low = boilerplate-ish/common, high = rare-token noise). Shape at
-    100 TB: the word-frequency table joins by word (uniform-ish keys,
-    AQE handles stopword skew), the corpus total rides as ONE broadcast
-    scalar, and the per-doc reduce is a partial-agg groupBy — two
-    shuffles total, no self-joins, no Python."""
+    100 TB: a FREQUENCY-SPLIT join — the _D31_HOT_WORDS head of the
+    Zipf curve (which carries roughly half the exploded token rows)
+    broadcast-joins, so the deliberately-skewed hot keys never cross an
+    Exchange; only the near-uniform long tail shuffle-joins. The corpus
+    total rides as ONE broadcast scalar and the per-doc reduce is a
+    partial-agg groupBy. No Python anywhere."""
     docs = t(spark, sf, "documents").select("doc_id", "text")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     tot = words.agg(F.count(F.lit(1)).alias("n"))
+    hot = F.broadcast(wc.orderBy(F.col("c").desc(), "word").limit(_D31_HOT_WORDS))
+    w_hot = words.join(hot, "word")
+    w_tail = words.join(hot.select("word"), "word", "left_anti").join(wc, "word")
     scored = (
-        words.join(wc, "word")
+        w_hot.unionByName(w_tail)
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
