@@ -107,11 +107,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS file records only the FIRST 50 queries()
 # entries; oracle-backed entries are emitted first and rows-only entries
-# (pre-declared ⊘ in SURVEY §2) last. With 64 oracle-backed entries and
-# a 50-entry cap, 14 sit past the cap each round — ROTATED per round
+# (pre-declared ⊘ in SURVEY §2) last. With 65 oracle-backed entries and
+# a 50-entry cap, 15 sit past the cap each round — ROTATED per round
 # (VERDICT r3 #5) so no oracle-backed query's external record goes more
 # than one round stale. Round 3 demoted q18–q23/q36/q37; round 4
-# promotes those eight back and demotes fourteen dataops entries that
+# promotes those eight back and demotes the fifteen dataops entries that
 # went driver-green in CORRECTNESS_r03 (all still DuckDB-checked locally
 # every session by tools/check_contract.py + pytest).
 _CAP_TAIL = (
@@ -128,6 +128,7 @@ _CAP_TAIL = (
     "d19_dedup_components",
     "d23_decontaminate",
     "d24_repetition_filter",
+    "d25_curation_pipeline",
     "d27_tfidf_topk",
 )
 

@@ -2242,6 +2242,69 @@ def d33(spark, sf):
     )
 
 
+# Temperature-sampling config (d34): α < 1 flattens the source mix
+# (mT5/Pile-style) — rare sources are oversampled relative to their
+# share, dominant sources down-weighted; target fraction halves the
+# corpus. Membership compares the doc's 32-bit md5 prefix against an
+# INTEGER threshold floor(p·2³²) so a last-ulp difference in the two
+# engines' pow()/sum() arithmetic cannot flip a doc across the
+# boundary (a flip would need the float error to cross an exact
+# integer AND a doc to sit on exactly that 1-in-2³² hash value).
+_D34_ALPHA = 0.3
+_D34_TARGET = 0.5
+
+_D34_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+tot AS (SELECT sum(n_s) AS n, sum(pow(n_s, {_D34_ALPHA})) AS z FROM counts),
+p AS (
+  SELECT source,
+         least(1.0, {_D34_TARGET} * tot.n * pow(n_s, {_D34_ALPHA}) / n_s / tot.z)
+           AS p_raw
+  FROM counts CROSS JOIN tot
+)
+SELECT d.doc_id, d.source, round(p.p_raw, 6) AS p_keep
+FROM documents d JOIN p USING (source)
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CAST(floor(p.p_raw * 4294967296) AS BIGINT)
+"""
+
+
+@q("d34_temperature_mix_sample", _D34_SQL)
+def d34(spark, sf):
+    """Temperature-based source mixing — the data-mixing primitive for
+    multi-source training corpora: per-source keep probability
+    p_s ∝ n_s^(α−1) (α = 0.3 flattens the mix toward rare sources),
+    scaled so the expected kept fraction is _D34_TARGET, capped at 1.
+    Membership is content-addressed (md5 prefix vs an integer
+    threshold) — the same doc is in or out on every run, every engine,
+    any cluster size (the d18 property, upgraded from a fixed nibble
+    rate to a data-dependent per-source rate). Shape at 100 TB: one
+    tiny per-source count agg, the probability table broadcasts, and
+    the membership filter is pure JVM projection — no extra shuffle of
+    the corpus at all."""
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n"), F.sum(F.pow("n_s", F.lit(_D34_ALPHA))).alias("z")
+    )
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(_D34_TARGET) * F.col("n") * F.pow("n_s", F.lit(_D34_ALPHA))
+            / F.col("n_s") / F.col("z"),
+        ).alias("p_raw"),
+    )
+    hexint = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(p), "source")
+        .filter(hexint < F.floor(F.col("p_raw") * F.lit(4294967296.0)).cast("long"))
+        .select("doc_id", "source", F.round("p_raw", 6).alias("p_keep"))
+    )
+
+
 _D31_SQL = """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
