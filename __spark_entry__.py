@@ -5,7 +5,7 @@ entry(spark)   — flagship: the fused extraction UDF chain + relational
 queries()      — every implemented operator from SURVEY.md §2:
                  Q1–Q43 relational plane (relational.py), extraction
                  plane A1–A20 / x01–x08 (extraction_queries.py), and
-                 the training-data ops plane d01–d33 (dataops.py);
+                 the training-data ops plane d01–d34 (dataops.py);
                  oracle-backed entries are emitted first so the
                  driver's 50-entry CORRECTNESS cap covers them all.
 oracle_sql()   — matching DuckDB SQL for every SQL-expressible query;

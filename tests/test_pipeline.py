@@ -106,31 +106,49 @@ def test_resume_after_simulated_crash(spark, tiny_corpus, tmp_path_factory, sche
 def test_parallel_commit_4096_buckets(spark, tmp_path_factory):
     """Round 4 (VERDICT r3 #6): past _COMMIT_PARALLEL_THRESHOLD buckets
     the rename+manifest loop runs on a thread pool — 4096 buckets must
-    commit in seconds, with exactly one manifest row per bucket and
-    every staged dir renamed into the final table."""
+    commit with exactly one manifest row per bucket, every staged dir
+    renamed, and a per-bucket cost at least 2× below a serial run
+    measured UNDER THE SAME host load (an A/B ratio, not an absolute
+    wall bound — the suite runs other Spark sessions concurrently and
+    an absolute bound loses to contention)."""
     import time as _time
 
-    out = str(tmp_path_factory.mktemp("bigcommit"))
-    staging = os.path.join(out, "_staging_big")
-    final_dir = os.path.join(out, "extracted")
-    n = 4096
-    for b in range(n):
-        d = os.path.join(staging, f"bucket={b}")
-        os.makedirs(d)
-        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
-            fh.write("x")
     from text_extraction_spark.fsio import FS
 
-    fs = FS(spark, out)
-    fs.mkdirs(final_dir)
+    def stage(tag: str, n: int) -> tuple[str, str, str, "FS"]:
+        out = str(tmp_path_factory.mktemp(tag))
+        staging = os.path.join(out, "_staging")
+        final_dir = os.path.join(out, "extracted")
+        for b in range(n):
+            d = os.path.join(staging, f"bucket={b}")
+            os.makedirs(d)
+            with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+                fh.write("x")
+        fs = FS(spark, out)
+        fs.mkdirs(final_dir)
+        return out, staging, final_dir, fs
+
+    # serial reference at 512 buckets, same host conditions
+    out_s, st_s, fd_s, fs_s = stage("sercommit", 512)
+    t0 = _time.monotonic()
+    pipeline._commit_buckets(
+        fs_s, st_s, fd_s, out_s, "ser", "2026-01-01T00:00:00Z",
+        [f"bucket={b}" for b in range(512)], parallel_threshold=10**9,
+    )
+    per_bucket_serial = (_time.monotonic() - t0) / 512
+
+    n = 4096
+    out, staging, final_dir, fs = stage("bigcommit", n)
     t0 = _time.monotonic()
     committed = pipeline._commit_buckets(
         fs, staging, final_dir, out, "big", "2026-01-01T00:00:00Z",
         [f"bucket={b}" for b in range(n)],
     )
-    wall = _time.monotonic() - t0
+    per_bucket_parallel = (_time.monotonic() - t0) / n
     assert committed == n
-    assert wall < 60, f"4096-bucket commit took {wall:.1f}s"
+    assert per_bucket_parallel < per_bucket_serial / 2, (
+        per_bucket_parallel, per_bucket_serial,
+    )
     assert len([d for d in os.listdir(final_dir) if d.startswith("bucket=")]) == n
     assert len(pipeline.read_committed_buckets(spark, out)) == n
 
