@@ -5,7 +5,7 @@ entry(spark)   — flagship: the fused extraction UDF chain + relational
 queries()      — every implemented operator from SURVEY.md §2:
                  Q1–Q43 relational plane (relational.py), extraction
                  plane A1–A20 / x01–x08 (extraction_queries.py), and
-                 the training-data ops plane d01–d34 (dataops.py);
+                 the training-data ops plane d01–d35 (dataops.py);
                  oracle-backed entries are emitted first so the
                  driver's 50-entry CORRECTNESS cap covers them all.
 oracle_sql()   — matching DuckDB SQL for every SQL-expressible query;
@@ -107,14 +107,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS file records only the FIRST 50 queries()
 # entries; oracle-backed entries are emitted first and rows-only entries
-# (pre-declared ⊘ in SURVEY §2) last. With 65 oracle-backed entries and
-# a 50-entry cap, 15 sit past the cap each round — ROTATED per round
+# (pre-declared ⊘ in SURVEY §2) last. With 66 oracle-backed entries and
+# a 50-entry cap, 16 sit past the cap each round — ROTATED per round
 # (VERDICT r3 #5) so no oracle-backed query's external record goes more
 # than one round stale. Round 3 demoted q18–q23/q36/q37; round 4
-# promotes those eight back and demotes the fifteen dataops entries that
+# promotes those eight back and demotes the fifteen r3-green dataops entries
+# plus x02 (also r3-green) that
 # went driver-green in CORRECTNESS_r03 (all still DuckDB-checked locally
 # every session by tools/check_contract.py + pytest).
 _CAP_TAIL = (
+    "x02_tokenize_features",
     "d01_dedup_exact",
     "d04_ngram_jaccard",
     "d05_ann_cosine_bruteforce",
@@ -155,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d29_ann_ivf_golden",
             "d30_dedup_pipeline_golden",
             "d33_simhash_golden",
+            "d35_ann_lsh_golden",
         }
     )
     ordered = (
@@ -188,4 +191,6 @@ def oracle_sql() -> dict[str, str]:
     out["d29_ann_ivf_golden"] = dataops.d29_oracle_sql()
     out["d30_dedup_pipeline_golden"] = dataops.d30_oracle_sql()
     out["d33_simhash_golden"] = dataops.d33_oracle_sql()
+    # d35 — hyperplane-LSH top-3 vs the SAME brute-force oracle as d29
+    out["d35_ann_lsh_golden"] = dataops.d29_oracle_sql()
     return out

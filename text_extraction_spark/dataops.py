@@ -2028,6 +2028,24 @@ def d29(spark, sf):
     return ivf_topk(spark.read.parquet(p), C)
 
 
+@q("d35_ann_lsh_golden")  # oracle registered lazily (shares d29's store + SQL)
+def d35(spark, sf):
+    """d06's hyperplane-LSH top-3 under a FULL value oracle: the exact
+    hyperplane_ann code (capped ids-only bucket join, slim join-back,
+    one cosine per undirected pair, per-query top-3) over the same
+    planted cluster store as d29 — near-identical cluster-mates
+    co-bucket in at least one of the 32 tables with probability
+    1−(miss)³² ≈ 1−4e-20, so LSH recall@3 is 1.0 by construction and
+    DuckDB's brute-force top-3 (d29's oracle, verbatim) must match
+    exactly. With d29/d30/d33 this closes the set: every approximate
+    ANN/dedup operator has an exact value oracle on a planted store.
+    sf_dir is ignored (own fixture)."""
+    import os
+
+    emb = spark.read.parquet(os.path.join(ivf_store_dir(), "embeddings.parquet"))
+    return hyperplane_ann(emb)
+
+
 # d30 golden fixture: planted word-substitution dup groups where the
 # MinHash-LSH candidate recall at the 0.5 word-Jaccard verify threshold
 # is 1.0 by construction — group variants differ from their base only in
