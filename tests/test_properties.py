@@ -105,3 +105,34 @@ def test_denoise_idempotent_on_clean_masks():
     once = denoise(ink)
     assert np.array_equal(denoise(once), once)
     assert np.array_equal(once, ink)  # clean renders are a fixed point
+
+
+docs_lists = st.lists(
+    st.lists(
+        st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6),
+        min_size=0, max_size=60,
+    ).map(" ".join),
+    min_size=1, max_size=12,
+)
+
+
+@given(docs_lists, st.integers(min_value=1, max_value=11))
+@settings(max_examples=40, deadline=None)
+def test_minhash_signature_batch_composition_invariant(texts, split):
+    """Round 4: the reduceat-batched MinHash signature of a document
+    must not depend on which documents share its Arrow batch or where
+    chunk boundaries fall — splitting the batch at any point yields
+    the same per-document signatures."""
+    import pandas as pd
+
+    from text_extraction_spark.dataops import minhash_sig_udf
+
+    whole = minhash_sig_udf.func(pd.Series(texts)).tolist()
+    cut = min(split, len(texts))
+    parts = (
+        minhash_sig_udf.func(pd.Series(texts[:cut])).tolist()
+        + minhash_sig_udf.func(pd.Series(texts[cut:])).tolist()
+        if texts[cut:]
+        else minhash_sig_udf.func(pd.Series(texts[:cut])).tolist()
+    )
+    assert whole == parts
