@@ -11,9 +11,12 @@ N→4N scaling evidence, measured two ways:
   4N executors"), with executor-side shuffle service, serialization and
   per-executor Python worker pools all live. Round 4: the two levels
   are INTERLEAVED A/B/A/B so host-contention windows hit adjacent pair
-  members symmetrically; headline efficiency = max over per-pair
-  ratios (noise only adds time, so the quietest pair carries the true
-  ratio), with every pair ratio and the min-of-level ratio reported.
+  members symmetrically. Round 5 (VERDICT r4 #1): headline efficiency
+  = MEDIAN over per-pair ratios — max-of-pairs is upward-biased
+  (noise that hits only the 1-executor half of a pair INFLATES that
+  pair's ratio, and max() selects exactly the most-inflated pair; the
+  r4 record's nonphysical 1.05 pair proved it). Max and min of pairs
+  ride along as diagnostics, plus the min-of-level ratio.
 * secondary: local[n] thread pairs (2→8→32 cores) as in round 1.
 
 Prints ONE JSON line:
@@ -157,10 +160,11 @@ def main() -> None:
     # Fix: INTERLEAVE the levels A/B/A/B — each adjacent (1-exec,
     # 4-exec) pair runs within the same few-minute window, so a
     # contention burst hits both sides of a pair roughly symmetrically.
-    # Report every per-pair ratio, the max-of-pairs (the pair least
-    # asymmetrically degraded — noise only ever ADDS time, so on a
-    # quiet pair the ratio is the true one), and the min-of-level ratio
-    # (best wall per level across all pairs) for transparency.
+    # Round-5 estimator fix (VERDICT r4 #1): "noise only adds time"
+    # cuts BOTH ways on a ratio — noise on the 1-exec half inflates the
+    # pair's ratio, so max-of-pairs is upward-biased (the r4 record's
+    # 1.05 pair is nonphysical proof). Headline = MEDIAN of pairs;
+    # max/min-of-pairs and min-of-level ride along as diagnostics.
     pair_reps = int(os.environ.get("SPARK_GRAFT_PAIR_REPEATS", "3"))
     runs_1, runs_4, pair_effs = [], [], []
     for i in range(pair_reps):
@@ -172,7 +176,7 @@ def main() -> None:
     exe_1 = min(runs_1, key=lambda r: r["wall_s"])  # best (least-noise) run per level
     exe_4 = min(runs_4, key=lambda r: r["wall_s"])
     eff_min_level = (exe_4["docs_per_sec"] / exe_1["docs_per_sec"]) / 4.0
-    eff_exec = max(pair_effs)
+    eff_exec = statistics.median(pair_effs)
 
     # ---- secondary: in-process thread scaling at three levels (2/8/32
     # cores). 8→32 is DRAM-bandwidth-bound on this shared box (separate
@@ -246,13 +250,15 @@ def main() -> None:
                     "scaling_efficiency": round(eff_exec, 3),
                     "executor_scaling": {
                         "mode": "local-cluster (separate executor JVMs)",
-                        "protocol": "interleaved A/B/A/B pairs; headline = max-of-pairs (see BENCH/BASELINE.md)",
+                        "protocol": "interleaved A/B/A/B pairs; headline = median-of-pairs (see BENCH/BASELINE.md)",
                         "docs_per_sec_1_executor": exe_1["docs_per_sec"],
                         "docs_per_sec_4_executors": exe_4["docs_per_sec"],
                         "executors_pair": [1, 4],
                         "cores_per_executor": 2,
                         "pair_efficiencies": [round(p, 3) for p in pair_effs],
                         "efficiency_min_of_level": round(eff_min_level, 3),
+                        "efficiency_max_of_pairs": round(max(pair_effs), 3),
+                        "efficiency_min_of_pairs": round(min(pair_effs), 3),
                         "efficiency_n_to_4n_executors": round(eff_exec, 3),
                     },
                     "thread_scaling": {

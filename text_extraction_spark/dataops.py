@@ -469,7 +469,12 @@ def _hyperplane_id_pairs(emb):
     each bucket is capped at _ANN_BUCKET_CAP representatives via a
     per-bucket row_number — streaming, never a whole-bucket collect, so
     even a 10M-member degenerate bucket sorts ids in one task without
-    materializing a giant array row."""
+    materializing a giant array row. Representatives are ranked by
+    xxhash64(vec_id), not raw vec_id (round-5 ADVICE fix): raw-id
+    ranking made truncation CORRELATED with id assignment — ids handed
+    out by ingestion time would systematically under-serve newer docs
+    in hot buckets — while a hash rank spreads representation uniformly
+    over members; vec_id stays as the deterministic tie-break."""
     import warnings
 
     dim, dropped = embedding_dim_and_dropped(emb)
@@ -482,7 +487,7 @@ def _hyperplane_id_pairs(emb):
         "vec_id",
         F.explode(_hyperplane_buckets_udf(dim)("embedding")).alias("bucket"),
     ).filter(F.col("bucket") >= 0)
-    wb = Window.partitionBy("bucket").orderBy("vec_id")
+    wb = Window.partitionBy("bucket").orderBy(F.xxhash64("vec_id"), "vec_id")
     reps = (
         e.withColumn("rn", F.row_number().over(wb))
         .filter(F.col("rn") <= _ANN_BUCKET_CAP)

@@ -10,20 +10,24 @@ Usage: python tools/check_contract.py [--sf /root/testdata/sf0.01] [names...]
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
-    sf = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--sf":
-            sf = sys.argv[1:][i + 1]
-            args = [x for x in args if x != sf]
+    # argparse (round-5 ADVICE fix): `--sf` with a missing value now
+    # errors loudly, `--sf=/path` parses as the option, and a positional
+    # query name can no longer be swallowed by the sf path.
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", help="query names to check (default: all)")
+    ns = ap.parse_args()
+    sf, args = ns.sf, ns.names
 
     import __spark_entry__ as entry
     from text_extraction_spark.conf import get_spark
