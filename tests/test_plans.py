@@ -214,6 +214,24 @@ def test_lm_score_pure_jvm_frequency_split(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_lm_score_single_corpus_scan(spark):
+    """d31 (round 5, VERDICT r4 #5): the corpus explode is the heaviest
+    map stage of the query at 100 TB — the EXECUTED plan must scan
+    documents exactly once, with every other dwc/wc consumer riding a
+    ReusedExchange of the materialized shuffle stage."""
+    from text_extraction_spark import dataops
+
+    df = dataops.QUERIES["d31_unigram_lm_score"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    # re-trigger on the df itself so ITS AQE plan is finalized
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("Initial Plan")[0]  # executed section only
+    assert final.count("FileScan parquet") == 1, final
+    assert "ReusedExchange" in final
+
+
 def test_media_ocr_query_no_shuffle(spark):
     """x06: the media extraction query is scan → UDF project — image
     bytes must never cross an Exchange."""

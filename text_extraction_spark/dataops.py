@@ -2363,25 +2363,51 @@ def d31(spark, sf):
     broadcast-joins, so the deliberately-skewed hot keys never cross an
     Exchange; only the near-uniform long tail shuffle-joins. The corpus
     total rides as ONE broadcast scalar and the per-doc reduce is a
-    partial-agg groupBy. No Python anywhere."""
+    partial-agg groupBy. No Python anywhere.
+
+    Round 5 (VERDICT r4 #5): every downstream relation derives from ONE
+    (doc_id, word, cnt) partial aggregate (`dwc`) instead of four
+    independent explodes of the corpus — word frequencies SUM cnt, the
+    corpus total sums wc (no second corpus pass), and the hot/tail
+    split is a LEFT join against the broadcast hot head followed by an
+    is-null split (NOT a left-anti, which Catalyst's
+    PushDownLeftSemiAntiJoin would push below the dwc aggregate and
+    thereby break subtree identity). With identical dwc/wc subtrees
+    under every consumer, AQE's exchange reuse materializes the
+    (doc_id, word) shuffle ONCE: the executed plan contains a SINGLE
+    scan of documents plus ReusedExchange references (pinned in
+    tests/test_plans.py). Hot rows still never reach the tail join's
+    word-keyed Exchange — they are filtered out before it — and the
+    per-doc reduce weights nll by cnt."""
     docs = t(spark, sf, "documents").select("doc_id", "text")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    tot = words.agg(F.count(F.lit(1)).alias("n"))
-    hot = F.broadcast(wc.orderBy(F.col("c").desc(), "word").limit(_D31_HOT_WORDS))
-    w_hot = words.join(hot, "word")
-    w_tail = words.join(hot.select("word"), "word", "left_anti").join(wc, "word")
+    dwc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = dwc.groupBy("word").agg(F.sum("cnt").alias("c"))
+    tot = wc.agg(F.sum("c").alias("n"))
+    hot = F.broadcast(
+        wc.orderBy(F.col("c").desc(), "word")
+        .limit(_D31_HOT_WORDS)
+        .select("word", F.col("c").alias("c_hot"))
+    )
+    j = dwc.join(hot, "word", "left")
+    w_hot = j.filter(F.col("c_hot").isNotNull()).select(
+        "doc_id", "cnt", F.col("c_hot").alias("c")
+    )
+    w_tail = (
+        j.filter(F.col("c_hot").isNull()).join(wc, "word").select("doc_id", "cnt", "c")
+    )
     scored = (
         w_hot.unionByName(w_tail)
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
+            "cnt",
             (-F.log(F.col("c").cast("double") / F.col("n"))).alias("nll"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_words"),
-        F.round(F.avg("nll"), 4).alias("lm_score"),
+        F.sum("cnt").cast("int").alias("n_words"),
+        F.round(F.sum(F.col("cnt") * F.col("nll")) / F.sum("cnt"), 4).alias("lm_score"),
     )
 
 
