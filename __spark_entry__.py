@@ -107,31 +107,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS file records only the FIRST 50 queries()
 # entries; oracle-backed entries are emitted first and rows-only entries
-# (pre-declared ⊘ in SURVEY §2) last. With 66 oracle-backed entries and
-# a 50-entry cap, 16 sit past the cap each round — ROTATED per round
+# (pre-declared ⊘ in SURVEY §2) last. With 67 oracle-backed entries and
+# a 50-entry cap, 17 sit past the cap each round — ROTATED per round
 # (VERDICT r3 #5) so no oracle-backed query's external record goes more
-# than one round stale. Round 3 demoted q18–q23/q36/q37; round 4
-# promotes those eight back and demotes the fifteen r3-green dataops entries
-# plus x02 (also r3-green) that
-# went driver-green in CORRECTNESS_r03 (all still DuckDB-checked locally
-# every session by tools/check_contract.py + pytest).
+# than one round stale. Round 4 demoted the r3-green dataops tail +
+# x02; round 5 promotes those sixteen back (plus the new d36 golden,
+# never yet driver-verified) and demotes seventeen r4-green entries —
+# q18–q23, q36–q38, q40–q43 and the d28/d29/d30/d33 goldens (all still
+# DuckDB-checked locally every session by tools/check_contract.py +
+# pytest).
 _CAP_TAIL = (
-    "x02_tokenize_features",
-    "d01_dedup_exact",
-    "d04_ngram_jaccard",
-    "d05_ann_cosine_bruteforce",
-    "d07_token_count",
-    "d08_quality_score",
-    "d10_fingerprint",
-    "d12_embedding_cosine_near_dup",
-    "d16_pii_scrub",
-    "d17_paragraph_dedup",
-    "d18_stratified_sample",
-    "d19_dedup_components",
-    "d23_decontaminate",
-    "d24_repetition_filter",
-    "d25_curation_pipeline",
-    "d27_tfidf_topk",
+    "q18_string_funcs",
+    "q19_datetime_funcs",
+    "q20_math_funcs",
+    "q21_array_funcs",
+    "q22_json_funcs",
+    "q23_conditional_null",
+    "q36_cube",
+    "q37_pivot",
+    "q38_exact_percentiles",
+    "q40_binned_range_join",
+    "q41_range_interval_window",
+    "q42_grouping_sets",
+    "q43_salted_skew_join",
+    "d28_embedding_dedup_golden",
+    "d29_ann_ivf_golden",
+    "d30_dedup_pipeline_golden",
+    "d33_simhash_golden",
 )
 
 
@@ -158,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d30_dedup_pipeline_golden",
             "d33_simhash_golden",
             "d35_ann_lsh_golden",
+            "d36_neardup_verified_golden",
         }
     )
     ordered = (
@@ -193,4 +196,7 @@ def oracle_sql() -> dict[str, str]:
     out["d33_simhash_golden"] = dataops.d33_oracle_sql()
     # d35 — hyperplane-LSH top-3 vs the SAME brute-force oracle as d29
     out["d35_ann_lsh_golden"] = dataops.d29_oracle_sql()
+    # d36 — d13's MinHash→verify stage vs DuckDB brute-force all-pairs
+    # Jaccard on d30's planted substitution-group corpus
+    out["d36_neardup_verified_golden"] = dataops.d36_oracle_sql()
     return out

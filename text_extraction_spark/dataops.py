@@ -1013,9 +1013,22 @@ def d13(spark, sf):
     """The full two-stage near-dup pipeline: MinHash+LSH candidate pairs
     (d02) verified with exact word-set Jaccard, keeping pairs >= 0.5.
     This is the production shape at 100 TB: the quadratic step only ever
-    touches LSH-bucket collisions; the exact verify is JVM-side."""
-    pairs = d02(spark, sf)
-    d = t(spark, sf, "documents").select(
+    touches LSH-bucket collisions; the exact verify is JVM-side. Value-
+    verified end-to-end by its golden twin d36 on the planted near-dup
+    store."""
+    return minhash_verified_pairs(t(spark, sf, "documents"))
+
+
+def minhash_verified_pairs(docs):
+    """d13's reusable core over any (doc_id, text) DataFrame: MinHash+
+    LSH candidates (d02, skew-capped) → exact JVM word-set Jaccard →
+    keep pairs whose ROUNDED (6 dp) Jaccard >= 0.5 (rounding before the
+    threshold so Spark and the DuckDB oracle cut identically). d36 runs
+    this exact code over the planted substitution-group corpus where
+    candidate recall at the threshold is 1.0 by construction, licensing
+    a brute-force value oracle."""
+    pairs = minhash_candidates(docs)
+    d = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
@@ -2157,6 +2170,44 @@ def d30(spark, sf):
         os.path.join(dedup_corpus_store_dir(), "documents.parquet")
     )
     return corpus_dedup_pipeline(docs)
+
+
+def d36_oracle_sql() -> str:
+    """Lazy (embeds the fixture path): brute-force ALL-pairs word-set
+    Jaccard with the same 6-dp round-then-threshold cut as the Spark
+    verify stage — no MinHash, no banding."""
+    jac = (
+        "round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)"
+        " / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6)"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+  FROM read_parquet('{dedup_corpus_store_dir()}/documents.parquet')
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+FROM docs a JOIN docs b ON b.doc_id > a.doc_id
+WHERE {jac} >= 0.5
+"""
+
+
+@q("d36_neardup_verified_golden")  # oracle registered lazily (embeds store path)
+def d36(spark, sf):
+    """d13's two-stage MinHash-candidates → exact-Jaccard verifier under
+    a FULL value oracle (round 5, VERDICT r4 #6 — the last
+    pipeline-shaped rows-only entry gains a golden twin): the exact
+    minhash_verified_pairs code over the d30 planted substitution-group
+    corpus, where every true pair at the 0.5 word-Jaccard threshold
+    sits at ~0.90 (escapes all 32 bands with prob ~1e-8, so candidate
+    recall is 1.0 by construction) and DuckDB brute-forces the verified
+    (doc_a, doc_b, jaccard) set over all pairs. sf_dir is ignored (own
+    fixture)."""
+    import os
+
+    docs = spark.read.parquet(
+        os.path.join(dedup_corpus_store_dir(), "documents.parquet")
+    )
+    return minhash_verified_pairs(docs)
 
 
 # d33 golden fixture: SimHash's 4×16-bit pigeonhole bucketing has
