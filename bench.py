@@ -201,16 +201,42 @@ def main() -> None:
     spark = get_spark(f"local[{CPUS}]", app_name="bench-queries", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        _noop_write(fn(spark, SF_DIR))  # warm-up discarded
-        runs = []
-        for _ in range(max(BENCH_REPEATS, 1)):
-            t0 = time.monotonic()
-            _noop_write(fn(spark, SF_DIR))
-            runs.append(time.monotonic() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+
+    def _time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            _noop_write(fn(spark, sf_dir))  # warm-up discarded
+            runs = []
+            for _ in range(max(BENCH_REPEATS, 1)):
+                t0 = time.monotonic()
+                _noop_write(fn(spark, sf_dir))
+                runs.append(time.monotonic() - t0)
+            out[name] = round(statistics.median(runs), 3)
+        return out
+
+    timings = _time_queries(SF_DIR, HEADLINE)
+
+    # ---- sf1 scale point (round 5, VERDICT r4 #4): the same headline
+    # queries at 10× the data, derived deterministically from sf0.1
+    # (scaledata.sf1_dir — cached, ~4 s to build cold). One measured
+    # decade of scaling turns every at-100× extrapolation into an
+    # interpolation; the linearity ratio per query is t_sf1/(10·t_sf0.1).
+    # x08 is excluded (it reads its own fixed PDF fixture, not sf_dir).
+    sf1_block = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from text_extraction_spark.scaledata import sf1_dir
+
+        sf1_names = [n for n in HEADLINE if n != "x08_pdf_text_extraction"]
+        t_sf1 = _time_queries(sf1_dir(), sf1_names)
+        sf1_block = {
+            "queries": t_sf1,
+            "linearity_vs_sf0.1": {
+                n: round(t_sf1[n] / (10 * timings[n]), 2)
+                for n in sf1_names
+                if timings.get(n)
+            },
+        }
     stop_active()
 
     total = round(
@@ -236,6 +262,7 @@ def main() -> None:
                     f"extraction_{CPUS}c": ext_high["wall_s"],
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"sf1": sf1_block} if sf1_block else {}),
                 "control": {
                     "corpus": "round-1-comparable (gray images only, no pdf/color/embed/skew)",
                     "docs": ctl["docs"],

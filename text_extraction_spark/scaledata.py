@@ -108,7 +108,8 @@ def sf1_dir(base: str = _BASE, copies: int = 10) -> str:
 
     from .conf import cache_root
 
-    d = os.path.join(cache_root(), f"testdata_sf1_{_SF1_VERSION}_{copies}x")
+    base_tag = os.path.basename(base.rstrip("/"))
+    d = os.path.join(cache_root(), f"testdata_sf1_{_SF1_VERSION}_{base_tag}_{copies}x")
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
         return d

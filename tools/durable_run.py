@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Durable-scale extraction run (BENCH/BASELINE.md scale-trend record).
+
+Generates (cached) an N-doc interleaved corpus, runs the REAL resumable
+extract_corpus job (staged bucketed write + atomic rename + manifest
+commit + compaction) on local[CPUS], then times a resume no-op over the
+committed manifest. Prints ONE JSON line.
+
+Usage: python tools/durable_run.py [--docs 1000000] [--buckets 256]
+       [--cpus 32] [--fail-after N]   (crash-replay exercise)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def scale_corpus(n_docs: int) -> str:
+    from text_extraction_spark.conf import cache_root
+    from text_extraction_spark.corpus import write_corpus_parquet
+    from text_extraction_spark.extraction_queries import _CORPUS_VERSION
+
+    d = os.path.join(cache_root(), f"scale_corpus_{_CORPUS_VERSION}_{n_docs}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        t0 = time.monotonic()
+        write_corpus_parquet(d, n_docs, with_golden=False)
+        open(marker, "w").write("ok")
+        print(f"corpus generated in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+    return d
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--fail-after", type=int, default=None)
+    args = ap.parse_args()
+
+    from text_extraction_spark.conf import cache_root, get_spark, stop_active
+    from text_extraction_spark.pipeline import extract_corpus
+
+    corpus = scale_corpus(args.docs)
+    out = os.path.join(cache_root(), f"durable_out_{args.docs}_{args.buckets}")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    stop_active()
+    spark = get_spark(
+        f"local[{args.cpus}]",
+        app_name=f"durable-{args.docs}",
+        shuffle_partitions=4 * args.cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.monotonic()
+    res = extract_corpus(
+        spark, corpus, out, run_id="d1", n_buckets=args.buckets,
+        _fail_after_buckets=args.fail_after,
+    )
+    wall = time.monotonic() - t0
+    t1 = time.monotonic()
+    res2 = extract_corpus(spark, corpus, out, run_id="d2")
+    resume_noop_s = time.monotonic() - t1
+    from text_extraction_spark.fsio import FS
+    from text_extraction_spark.pipeline import _manifest_dir
+
+    manifest_files = len(FS(spark, out).listdir(_manifest_dir(out)))
+    stop_active()
+    print(
+        json.dumps(
+            {
+                "docs": args.docs,
+                "buckets": args.buckets,
+                "cpus": args.cpus,
+                "wall_s": round(wall, 1),
+                "docs_per_sec": round(args.docs / wall, 1),
+                "buckets_committed": res["buckets_committed"],
+                "spans_out": res["spans_out"],
+                "resume_noop_s": round(resume_noop_s, 2),
+                "resume_skipped": res2["skipped"],
+                "manifest_files_after_completion": manifest_files,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
