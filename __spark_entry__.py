@@ -107,15 +107,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS file records only the FIRST 50 queries()
 # entries; oracle-backed entries are emitted first and rows-only entries
-# (pre-declared ⊘ in SURVEY §2) last. With 67 oracle-backed entries and
-# a 50-entry cap, 17 sit past the cap each round — ROTATED per round
+# (pre-declared ⊘ in SURVEY §2) last. With 68 oracle-backed entries and
+# a 50-entry cap, 18 sit past the cap each round — ROTATED per round
 # (VERDICT r3 #5) so no oracle-backed query's external record goes more
 # than one round stale. Round 4 demoted the r3-green dataops tail +
-# x02; round 5 promotes those sixteen back (plus the new d36 golden,
-# never yet driver-verified) and demotes seventeen r4-green entries —
-# q18–q23, q36–q38, q40–q43 and the d28/d29/d30/d33 goldens (all still
-# DuckDB-checked locally every session by tools/check_contract.py +
-# pytest).
+# x02; round 5 promotes those sixteen back (plus the new d36 golden and
+# d37, never yet driver-verified) and demotes eighteen r4-green
+# entries — q18–q23, q36–q38, q40–q43, the d28/d29/d30/d33 goldens and
+# d34 (all still DuckDB-checked locally every session by
+# tools/check_contract.py + pytest).
 _CAP_TAIL = (
     "q18_string_funcs",
     "q19_datetime_funcs",
@@ -134,6 +134,7 @@ _CAP_TAIL = (
     "d29_ann_ivf_golden",
     "d30_dedup_pipeline_golden",
     "d33_simhash_golden",
+    "d34_temperature_mix_sample",
 )
 
 

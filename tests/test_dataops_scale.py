@@ -697,3 +697,48 @@ def test_connected_components_reliable_checkpoint(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "CC-CKPT-OK" in proc.stdout
+
+
+def test_per_source_cap_exact_under_skew(spark):
+    """d37's two-stage salted top-K must equal the single-window
+    reference EXACTLY on a deliberately skewed store (one source holds
+    96% of all docs — the crawl-loop shape the op exists for), and the
+    salt stage must actually cut the hot source's window input."""
+    from pyspark.sql import functions as F
+
+    import text_extraction_spark.dataops as d
+
+    rows = [(i, "hot" if i < 4800 else f"cold{i % 7}") for i in range(5000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    cap, salt_n = d._D37_CAP, d._D37_SALT
+    base = docs.select(
+        "doc_id", "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(salt_n)).alias("salt"),
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    s1 = (
+        base.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= cap)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    two_stage = (
+        s1.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= cap)
+        .select("doc_id", "source", "rank")
+    )
+    ref = (
+        base.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= cap)
+        .select("doc_id", "source", "rank")
+    )
+    a = sorted(map(tuple, two_stage.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert a == b and len(a) == cap + 7 * cap  # hot + 7 cold sources
+    # stage-1 survivor set is bounded: hot source contributes <= salt*cap
+    n_hot_survivors = s1.filter(F.col("source") == "hot").count()
+    assert n_hot_survivors <= salt_n * cap
+    assert n_hot_survivors < 4800  # the window input really shrank

@@ -1,7 +1,7 @@
 """SQL catalog facade (the Iceberg seam, SURVEY §1.2).
 
 No iceberg-spark-runtime jar exists in this environment (rechecked
-2026-08-16, round 4: no iceberg/delta jar anywhere on disk), so tables
+2026-08-17, round 5: no iceberg/delta jar anywhere on disk), so tables
 are plain parquet + the pipeline's manifest protocol. This module is the
 single place that binds logical table names to storage so a future
 Iceberg catalog drops in here: swap `spark.read.parquet(...)` for

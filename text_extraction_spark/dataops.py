@@ -2210,6 +2210,60 @@ def d36(spark, sf):
     return minhash_verified_pairs(docs)
 
 
+# Per-source document caps (d37): real web-corpus curation caps how many
+# documents any single domain/source may contribute (boilerplate farms
+# and crawl loops otherwise dominate the token budget). Selection is
+# content-addressed — rank by md5(doc_id) inside each source — so the
+# kept set is deterministic and engine-independent, like d18.
+_D37_CAP = 10
+_D37_SALT = 256
+
+_D37_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_D37_CAP}
+"""
+
+
+@q("d37_per_source_cap", _D37_SQL)
+def d37(spark, sf):
+    """Per-source cap sampling: keep the _D37_CAP lowest-md5-ranked docs
+    of each source. Shape at 100 TB: a single window over (source) would
+    put EVERY doc of a hot source on one reducer — a crawl-loop domain
+    with 100M pages is exactly the skew this op exists to cut. Instead,
+    EXACT distributed top-K in two bounded stages: stage 1 ranks within
+    (source, salt-of-doc_id) cells — the hot key spreads over _D37_SALT
+    reducers and each cell keeps its own K smallest, which provably
+    contains the global K smallest (any global top-K member is top-K in
+    its cell) — stage 2 re-ranks the <= SALT·K survivors per source.
+    Both windows are JVM-side; no Python, no collect."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_D37_SALT)).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    s1 = (
+        d.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _D37_CAP)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        s1.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= _D37_CAP)
+        .select("doc_id", "source", "rank")
+    )
+
+
 # d33 golden fixture: SimHash's 4×16-bit pigeonhole bucketing has
 # PROVABLY perfect recall at Hamming <= 3 (a <=3-bit difference cannot
 # touch all four blocks), so on any store the <=3 slice of
