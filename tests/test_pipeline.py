@@ -391,3 +391,38 @@ def test_sql_extraction_functions(spark, tiny_corpus):
     assert list(r["mh"]) == list(
         minhash_sig_udf.func(pd.Series(["the quick brown fox jumps high"]))[0]
     )
+
+
+def test_compaction_never_loses_concurrent_commits(spark, tmp_path_factory):
+    """Round-5 invariant pin: _compact_manifest deletes ONLY the files
+    it listed and folded, so commit files appended concurrently with a
+    running compaction must all survive into read_committed_buckets.
+    Drives 8 compactions racing a 400-append writer thread; after the
+    final compaction every bucket ever committed is present."""
+    import threading
+
+    from text_extraction_spark.fsio import FS
+
+    out = str(tmp_path_factory.mktemp("concurrent"))
+    fs = FS(spark, out)
+    n = 400
+    stop = threading.Event()
+
+    def writer():
+        for b in range(n):
+            pipeline._append_manifest(
+                fs, out,
+                [{"run_id": "w", "bucket": b, "status": "committed",
+                  "n_docs": None, "output_path": "p", "committed_at": "t"}],
+            )
+        stop.set()
+
+    th = threading.Thread(target=writer)
+    th.start()
+    while not stop.is_set():
+        pipeline._compact_manifest(fs, out, "c")
+    th.join()
+    pipeline._compact_manifest(fs, out, "final")
+    assert pipeline.read_committed_buckets(spark, out) == set(range(n))
+    names = [f for f in fs.listdir(pipeline._manifest_dir(out)) if f.endswith(".json")]
+    assert len(names) == 1

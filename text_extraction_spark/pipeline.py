@@ -444,10 +444,18 @@ def read_committed_buckets(spark: SparkSession, out_path: str) -> set[int]:
 def _append_manifest(fs, out_path: str, rows: list[dict]) -> None:
     """Atomic manifest append: one new whole file per batch (create +
     rename on POSIX/HDFS; single-key PUT semantics on object stores) —
-    a reader sees either the whole batch or nothing."""
+    a reader sees either the whole batch or nothing.
+
+    File name carries the batch's first bucket id AND a FULL uuid
+    (round-5 fix, found by the 100k-bucket measurement run): the old
+    8-hex-truncated uuid is a 32-bit name space, and at ~100k commits
+    the birthday bound makes a collision MORE likely than not — two
+    concurrent committers then share a .tmp path and the loser's rename
+    fails after its tmp was stolen. 128 bits + the bucket id makes the
+    collision probability negligible at any bucket count."""
     mdir = _manifest_dir(out_path)
     fs.mkdirs(mdir)
-    name = f"commit-{rows[0]['run_id']}-{uuid.uuid4().hex[:8]}.json"
+    name = f"commit-{rows[0]['run_id']}-b{rows[0]['bucket']}-{uuid.uuid4().hex}.json"
     fs.write_text_atomic(
         os.path.join(mdir, name),
         "".join(json.dumps(r) + "\n" for r in rows),
@@ -490,7 +498,7 @@ def _compact_manifest(fs, out_path: str, run_id: str, max_workers: int | None = 
         json.dumps(by_bucket[b]) + "\n" for b in sorted(by_bucket)
     )
     fs.write_text_atomic(
-        os.path.join(mdir, f"snapshot-{run_id}-{uuid.uuid4().hex[:8]}.json"),
+        os.path.join(mdir, f"snapshot-{run_id}-{uuid.uuid4().hex}.json"),
         snap,
         tmp_suffix=".tmp",
     )
