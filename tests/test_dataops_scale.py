@@ -90,7 +90,10 @@ def test_ann_small_buckets_keep_all_pairs(spark):
         (r["ua"], r["ub"]) for r in dataops._hyperplane_id_pairs(emb).collect()
     }
     # reference: uncapped bucket co-membership over the same seeded UDF
-    buckets = dataops._hyperplane_buckets_udf(16).func(
+    # at the SAME adaptive plane count the pair generator picks for n=40
+    buckets = dataops._hyperplane_buckets_udf(
+        16, dataops._adaptive_planes(len(vecs))
+    ).func(
         pd.Series([[float(x) for x in v] for v in vecs])
     ).tolist()
     want = set()
@@ -316,8 +319,8 @@ def test_hyperplane_buckets_deterministic_and_shaped():
 def test_ann_recall_floor(spark):
     """Measured floors on the noise-like testdata (true neighbors at
     cosine ~0.3 — worst case for any ANN), deterministic (seeded planes
-    / centroids, fixed data): LSH (32×6 planes) mean recall@3 >= 0.75 at
-    ~0.41 candidate fraction; IVF at the round-4 operating point
+    / centroids, fixed data): LSH (32 tables, adaptive planes — round 5)
+    mean recall@3 >= 0.75; IVF at the round-4 operating point
     (k=48, nprobe=14, swept) >= 0.70 at ~0.29 candidate fraction."""
     rows = dataops.d14(spark, SF).collect()
     means = {r["op"]: r["recall_at_3"] for r in rows if r["q_id"] == -1}

@@ -361,7 +361,32 @@ def d05(spark, sf):
 # real clustered embeddings the same code reduces far more. The d14
 # query + tests/test_dataops_scale.py pin the floor.
 _LSH_TABLES = 32  # OR-amplification: candidate iff ANY table agrees
-_LSH_PLANES = 6  # bits per table
+_LSH_PLANES = 6  # bits per table at the measured operating point (~2k vecs)
+
+# Round 5 — found by the sf1 decade measurement: with a FIXED plane
+# count each table has only 2^planes buckets, so mean occupancy grows
+# linearly with the store and the candidate volume saturates at its
+# ceiling n·cap·tables (20k vectors → 28.1M candidate pairs → the
+# cosine-verify join, not candidate generation, became the bottleneck).
+# The plane count must scale with the store: planes ≈ log2(n / target
+# occupancy) keeps mean bucket size ~constant at ANY n, which is what
+# makes the candidate volume O(n·occupancy·tables) with a bounded
+# constant — at 10^9 vectors this gives 25 planes, not 6. Recall holds
+# because near-dup pairs (cosine ≥ ~0.99, θ ≤ 0.14 rad) co-bucket per
+# table with prob (1−θ/π)^planes — e.g. 0.955^10 ≈ 0.63 — and missing
+# all 32 OR-tables is (1−0.63)^32 ≈ 1e-14.
+_LSH_TARGET_BUCKET = 32
+_LSH_MIN_PLANES = 4
+_LSH_MAX_PLANES = 24
+
+
+def _adaptive_planes(n_vecs: int) -> int:
+    import math
+
+    if n_vecs <= 0:
+        return _LSH_PLANES
+    raw = math.ceil(math.log2(max(n_vecs / _LSH_TARGET_BUCKET, 2.0)))
+    return min(_LSH_MAX_PLANES, max(_LSH_MIN_PLANES, raw))
 
 
 def embedding_dim_and_dropped(df, col: str = "embedding", id_col: str = "vec_id"):
@@ -377,22 +402,24 @@ def embedding_dim_and_dropped(df, col: str = "embedding", id_col: str = "vec_id"
     return int(dim), int(df.filter(F.size(col) != dim).count())
 
 
-def _hyperplane_buckets_udf(dim: int):
+def _hyperplane_buckets_udf(dim: int, n_planes: int = _LSH_PLANES):
     """Multi-table random-hyperplane LSH buckets for `dim`-d vectors,
     batch-vectorized: ONE (batch × dim) @ (dim × tables·planes) matmul
     gives every sign bit; bucket id of table t = t·2^planes + bits
     (distinct id spaces per table, so a plain explode+equi-join unions
-    the tables). Seeded per dim — deterministic across partitions /
-    executors. Rows whose dim differs get bucket -1 (filtered out
-    downstream; the count is surfaced by embedding_dim_and_dropped)."""
+    the tables). Seeded per (dim, n_planes) — deterministic across
+    partitions / executors; n_planes comes from _adaptive_planes so the
+    per-table bucket space scales with the store (round 5). Rows whose
+    dim differs get bucket -1 (filtered out downstream; the count is
+    surfaced by embedding_dim_and_dropped)."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets(embs: pd.Series) -> pd.Series:
         planes = np.random.Generator(np.random.PCG64(7)).standard_normal(
-            (_LSH_TABLES * _LSH_PLANES, dim)
+            (_LSH_TABLES * n_planes, dim)
         )
-        weights = 1 << np.arange(_LSH_PLANES, dtype=np.int64)
-        base = (np.arange(_LSH_TABLES, dtype=np.int64) << _LSH_PLANES)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        base = (np.arange(_LSH_TABLES, dtype=np.int64) << n_planes)
         out: list[list[int] | None] = []
         ok_rows, mats = [], []
         for i, e in enumerate(embs):
@@ -403,7 +430,7 @@ def _hyperplane_buckets_udf(dim: int):
             out.append([-1] * _LSH_TABLES)
         if mats:
             proj = np.stack(mats) @ planes.T  # (B, tables·planes)
-            bits = (proj > 0).astype(np.int64).reshape(len(mats), _LSH_TABLES, _LSH_PLANES)
+            bits = (proj > 0).astype(np.int64).reshape(len(mats), _LSH_TABLES, n_planes)
             ids = (bits * weights[None, None, :]).sum(axis=2) + base[None, :]
             for row, i in enumerate(ok_rows):
                 out[i] = [int(x) for x in ids[row]]
@@ -417,13 +444,15 @@ def _hyperplane_buckets_udf(dim: int):
 @q("d06_ann_lsh_bucketed")  # ⊘ rows-only (approximate; recall gated by d14)
 def d06(spark, sf):
     """LSH-bucketed ANN (the scale path): _LSH_TABLES OR-amplified
-    hyperplane tables of _LSH_PLANES bits (round-2 fix: one 12-plane
-    table under-recalled). A pair is a candidate iff ANY table buckets
+    hyperplane tables of _adaptive_planes(n) bits each (round-2 fix:
+    one 12-plane table under-recalled; round-5 fix: a FIXED plane count
+    saturates — bucket occupancy grows linearly with the store, see
+    _LSH_TARGET_BUCKET). A pair is a candidate iff ANY table buckets
     it together; candidates come from an ids-only bucket join with hot
     buckets capped at _ANN_BUCKET_CAP representatives (round 4), so
-    work scales with bucket occupancy × cap, never corpus² — even on a
-    store of millions of identical embeddings. Recall vs the exact d05
-    twin is measured by d14_ann_recall and pinned in tests."""
+    work scales with target occupancy × cap × n, never corpus² — even
+    on a store of millions of identical embeddings. Recall vs the exact
+    d05 twin is measured by d14_ann_recall and pinned in tests."""
     return hyperplane_ann(t(spark, sf, "embeddings"))
 
 
@@ -483,9 +512,13 @@ def _hyperplane_id_pairs(emb):
             f"hyperplane ann: {dropped} rows dropped (embedding dim != {dim})",
             stacklevel=2,
         )
+    # one cheap count() sizes the per-table bucket space to the store
+    # (round 5): constant mean occupancy at any n, so candidate volume
+    # stays O(n·occupancy·tables) instead of saturating at n·cap·tables
+    n_planes = _adaptive_planes(emb.count())
     e = emb.select(
         "vec_id",
-        F.explode(_hyperplane_buckets_udf(dim)("embedding")).alias("bucket"),
+        F.explode(_hyperplane_buckets_udf(dim, n_planes)("embedding")).alias("bucket"),
     ).filter(F.col("bucket") >= 0)
     wb = Window.partitionBy("bucket").orderBy(F.xxhash64("vec_id"), "vec_id")
     reps = (
