@@ -587,6 +587,26 @@ _IVF_TRAIN_CAP = 2048
 _IVF_ITERS = 5
 _ivf_cache: dict = {}
 
+# Round 5 — the sf1 decade caught the same saturation class in IVF as
+# in the hyperplane tables: with FIXED k, cell occupancy grows linearly
+# with the store, and the all-kNN join's work is n·(nprobe/k)·n — i.e.
+# quadratic in n at constant k (20k vectors → 116M candidate cosines).
+# Fix: k scales to PRESERVE the swept operating point's mean occupancy
+# (2000/48 ≈ 42 vectors/cell) at every n, so per-query candidate work
+# stays ~nprobe·42 = constant. Clamped to [48, 1024]: below 2016
+# vectors nothing changes (every measured floor/golden keeps its exact
+# round-4 config), and above ~43k the driver-side sample-trained
+# k-means is the cap — past ~10^7 vectors a real deployment swaps in a
+# hierarchical coarse quantizer behind this same seam.
+_IVF_TARGET_CELL = 42
+_IVF_MAX_K = 1024
+
+
+def _adaptive_ivf_k(n_vecs: int) -> int:
+    if n_vecs <= 0:
+        return _IVF_K
+    return min(_IVF_MAX_K, max(_IVF_K, n_vecs // _IVF_TARGET_CELL))
+
 
 def _spherical_kmeans(X: np.ndarray, k: int = None, iters: int = None) -> np.ndarray:
     """Seeded spherical k-means on a driver-side sample matrix —
@@ -607,22 +627,37 @@ def _spherical_kmeans(X: np.ndarray, k: int = None, iters: int = None) -> np.nda
 
 
 def _ivf_centroids(spark, sf) -> np.ndarray:
-    """Seeded spherical k-means on <= _IVF_TRAIN_CAP sample vectors —
-    deterministic, bounded driver memory at any corpus size."""
-    key = sf
+    """Seeded spherical k-means on a bounded sample — deterministic,
+    bounded driver memory at any corpus size. Round 5: k adapts to the
+    store (_adaptive_ivf_k) and the sample is the max(_IVF_TRAIN_CAP,
+    8·k) lowest-xxhash64(vec_id) rows — a TakeOrdered over a uniform
+    hash, so training is uncorrelated with ingestion-time id assignment
+    (the d06 bucket-cap ADVICE lesson applied to the trainer; below
+    2048 vectors every row is sampled either way, so the measured
+    sf0.001/sf0.01 floors keep their exact round-4 centroids)."""
+    e = t(spark, sf, "embeddings")
+    n = e.count()
+    k = _adaptive_ivf_k(n)
+    cap = max(_IVF_TRAIN_CAP, 8 * k)
+    key = (sf, k, cap)
     if key in _ivf_cache:
         return _ivf_cache[key]
     rows = (
-        t(spark, sf, "embeddings")
-        .filter(F.col("vec_id") < _IVF_TRAIN_CAP)
-        .select("embedding")
+        e.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(cap)
+        .select("vec_id", "embedding")
         .collect()
     )
+    # vec_id-sorted sample matrix: k-means seeding indexes into X, so
+    # row order must be deterministic AND, for stores at or under the
+    # cap (= the whole store sampled), identical to the round-4 order —
+    # keeping every measured floor's centroids bit-stable.
+    rows.sort(key=lambda r: r["vec_id"])
     vecs = [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
     # Train only on the canonical dim (dim of the first sample vector) —
     # a stray wrong-dim row must not crash np.stack or skew centroids.
     X = np.stack([v for v in vecs if v.shape == vecs[0].shape])
-    _ivf_cache[key] = _spherical_kmeans(X)
+    _ivf_cache[key] = _spherical_kmeans(X, k=k)
     return _ivf_cache[key]
 
 
@@ -681,11 +716,22 @@ def ivf_topk(e, C: np.ndarray):
     data = e.select(
         "vec_id", "embedding", F.explode(home("embedding")).alias("cell")
     ).filter(F.col("cell") >= 0)
-    qs = e.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.explode(probe("embedding")).alias("cell"),
-    ).filter(F.col("cell") >= 0)
+    qs = (
+        e.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(probe("embedding")).alias("cell"),
+        )
+        .filter(F.col("cell") >= 0)
+        # co-partition by cell (round 5): when the data side broadcasts,
+        # the join — and the expensive cosine projection fused into its
+        # stage — inherits the probe side's partitioning, which is the
+        # raw SCAN partitioning (2 tasks on a single-file store). The
+        # explicit cell repartition is the natural join shuffle at real
+        # scale and spreads the cosine work across the cluster at every
+        # scale (sf1: 201 s → measured after fix below).
+        .repartition(F.col("cell"))
+    )
     j = qs.join(data, "cell").filter(F.col("vec_id") != F.col("q_id"))
     sims = j.select(
         "q_id", "vec_id",
