@@ -61,6 +61,8 @@ HEADLINE = [
     "d01_dedup_exact",
     "d02_dedup_minhash_lsh",
     "d05_ann_cosine_bruteforce",
+    "d06_ann_lsh_bucketed",  # round 5: adaptive planes — scaling story
+    "d15_ann_ivf",  # round 5: adaptive k + cell co-partitioning
     "d07_token_count",
     "d16_pii_scrub",
     "d17_paragraph_dedup",
