@@ -595,11 +595,18 @@ _ivf_cache: dict = {}
 # (2000/48 ≈ 42 vectors/cell) at every n, so per-query candidate work
 # stays ~nprobe·42 = constant. Clamped to [48, 1024]: below 2016
 # vectors nothing changes (every measured floor/golden keeps its exact
-# round-4 config), and above ~43k the driver-side sample-trained
-# k-means is the cap — past ~10^7 vectors a real deployment swaps in a
-# hierarchical coarse quantizer behind this same seam.
+# round-4 config). The k cap is set by DRIVER training cost, not taste:
+# spherical k-means on an 8·k sample is O(iters·8k·k·dim) BLAS flops —
+# at the 8192 cap that is ~170 Gflop / ~4 GB peak, seconds-to-a-minute
+# on one core, and the centroid closure shipped to executors is
+# 8192·dim doubles (~4 MB at dim 64). Past n ≈ cap·42 ≈ 340k vectors
+# occupancy grows again (the quadratic residual returns); a real
+# deployment swaps a hierarchical coarse quantizer in behind this same
+# seam there. nprobe stays fixed: per-query work = nprobe·occupancy is
+# constant below the cap; the recall cost of shrinking nprobe/k
+# coverage is the standard IVF trade and is what the d14 gate measures.
 _IVF_TARGET_CELL = 42
-_IVF_MAX_K = 1024
+_IVF_MAX_K = 8192
 
 
 def _adaptive_ivf_k(n_vecs: int) -> int:
