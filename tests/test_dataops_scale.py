@@ -745,3 +745,50 @@ def test_per_source_cap_exact_under_skew(spark):
     n_hot_survivors = s1.filter(F.col("source") == "hot").count()
     assert n_hot_survivors <= salt_n * cap
     assert n_hot_survivors < 4800  # the window input really shrank
+
+
+def test_adaptive_granularity_rules():
+    """Round-5 pins for the store-size-adaptive sketch granularity:
+    monotone, clamped, and EXACTLY the round-4 configs at every scale
+    the measured floors/goldens run at (so those records stay valid)."""
+    from text_extraction_spark import dataops as d
+
+    # LSH planes: round-4 config (6) preserved at the measured ~2k scale
+    assert d._adaptive_planes(0) == d._LSH_PLANES
+    assert d._adaptive_planes(40) == d._LSH_MIN_PLANES
+    assert d._adaptive_planes(300) == d._LSH_MIN_PLANES  # planted stores
+    assert d._adaptive_planes(2000) == 6  # sf0.01 = the swept point
+    assert d._adaptive_planes(20_000) == 10  # sf1
+    assert d._adaptive_planes(10**9) == d._LSH_MAX_PLANES
+    prev = 0
+    for n in (1, 10, 100, 10**3, 10**4, 10**5, 10**6, 10**9):
+        cur = d._adaptive_planes(n)
+        assert cur >= prev
+        prev = cur
+    # IVF k: sub-2016-vector stores keep the exact round-4 k=48
+    assert d._adaptive_ivf_k(0) == d._IVF_K
+    assert d._adaptive_ivf_k(300) == d._IVF_K
+    assert d._adaptive_ivf_k(2000) == d._IVF_K
+    assert d._adaptive_ivf_k(20_000) == 20_000 // d._IVF_TARGET_CELL
+    assert d._adaptive_ivf_k(10**9) == d._IVF_MAX_K
+
+
+def test_hyperplane_buckets_param_planes_deterministic():
+    """The parameterized plane count keeps the bucket UDF deterministic
+    and keeps every id inside its table's id space (t·2^planes + bits)."""
+    import pandas as pd
+
+    from text_extraction_spark import dataops as d
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    embs = [list(map(float, rng.standard_normal(32))) for _ in range(50)]
+    u = d._hyperplane_buckets_udf(32, 10)
+    a = u.func(pd.Series(embs)).tolist()
+    b = u.func(pd.Series(embs)).tolist()
+    assert a == b
+    for row in a:
+        assert len(row) == d._LSH_TABLES
+        for t_i, bucket in enumerate(row):
+            assert t_i * (1 << 10) <= bucket < (t_i + 1) * (1 << 10)
+    # a different plane count is a DIFFERENT hash family
+    assert d._hyperplane_buckets_udf(32, 6).func(pd.Series(embs)).tolist() != a
