@@ -110,31 +110,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # (pre-declared ⊘ in SURVEY §2) last. With 68 oracle-backed entries and
 # a 50-entry cap, 18 sit past the cap each round — ROTATED per round
 # (VERDICT r3 #5) so no oracle-backed query's external record goes more
-# than one round stale. Round 4 demoted the r3-green dataops tail +
-# x02; round 5 promotes those sixteen back (plus the new d36 golden and
-# d37, never yet driver-verified) and demotes eighteen r4-green
-# entries — q18–q23, q36–q38, q40–q43, the d28/d29/d30/d33 goldens and
-# d34 (all still DuckDB-checked locally every session by
-# tools/check_contract.py + pytest).
+# than one round stale. Round 5 demoted q18–q23/q36–q38/q40–q43/the
+# d28–d33 goldens/d34; round 6 promotes those eighteen back under the
+# cap and demotes eighteen r5-green entries — a basic-join/window/UDF
+# slice of the relational plane (all still DuckDB-checked locally every
+# session by tools/check_contract.py + pytest; the flagship q04/q08/q10
+# shuffle paths, all extraction x-entries and all dataops d-entries stay
+# under the cap).
 _CAP_TAIL = (
-    "q18_string_funcs",
-    "q19_datetime_funcs",
-    "q20_math_funcs",
-    "q21_array_funcs",
-    "q22_json_funcs",
-    "q23_conditional_null",
-    "q36_cube",
-    "q37_pivot",
-    "q38_exact_percentiles",
-    "q40_binned_range_join",
-    "q41_range_interval_window",
-    "q42_grouping_sets",
-    "q43_salted_skew_join",
-    "d28_embedding_dedup_golden",
-    "d29_ann_ivf_golden",
-    "d30_dedup_pipeline_golden",
-    "d33_simhash_golden",
-    "d34_temperature_mix_sample",
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q03_broadcast_join",
+    "q05_left_outer_join",
+    "q06_left_semi_join",
+    "q07_left_anti_join",
+    "q09_asof_join",
+    "q11_count_distinct",
+    "q13_rollup",
+    "q14_window_rank",
+    "q15_window_running_sum",
+    "q16_topk",
+    "q17_set_ops",
+    "q24_pandas_scalar_udf",
+    "q25_grouped_map_udf",
+    "q32_dedup",
+    "q34_bucketed_colocated_join",
+    "q35_udtf_word_explode",
+    # round 6: one extra demotion keeps the under-cap prefix at exactly
+    # 50 after the new d38 golden joined the oracle-backed head
+    "q29_sliding_window",
 )
 
 
@@ -162,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d33_simhash_golden",
             "d35_ann_lsh_golden",
             "d36_neardup_verified_golden",
+            "d38_bigcluster_dedup_golden",
         }
     )
     ordered = (
@@ -200,4 +205,7 @@ def oracle_sql() -> dict[str, str]:
     # d36 — d13's MinHash→verify stage vs DuckDB brute-force all-pairs
     # Jaccard on d30's planted substitution-group corpus
     out["d36_neardup_verified_golden"] = dataops.d36_oracle_sql()
+    # d38 — the degree-capped d26 verify stage vs DuckDB brute force on
+    # the planted 100-member-cluster store (round 6)
+    out["d38_bigcluster_dedup_golden"] = dataops.d38_oracle_sql()
     return out

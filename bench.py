@@ -225,8 +225,14 @@ def main() -> None:
     # decade of scaling turns every at-100× extrapolation into an
     # interpolation; the linearity ratio per query is t_sf1/(10·t_sf0.1).
     # x08 is excluded (it reads its own fixed PDF fixture, not sf_dir).
+    # Round 6 (ADVICE r5): the 10× factor only holds when the base run
+    # really was sf0.1 — skip the block under an SF_DIR override rather
+    # than emit mislabeled ratios.
     sf1_block = {}
-    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+    if (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        and os.path.realpath(SF_DIR) == os.path.realpath("/root/testdata/sf0.1")
+    ):
         from text_extraction_spark.scaledata import sf1_dir
 
         sf1_names = [n for n in HEADLINE if n != "x08_pdf_text_extraction"]
@@ -249,56 +255,97 @@ def main() -> None:
         3,
     )
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline queries + extraction pipeline wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": {
-                    **timings,
-                    "extraction_1exec_2c": exe_1["wall_s"],
-                    "extraction_4exec_8c": exe_4["wall_s"],
-                    f"extraction_{LOW_CPUS}c": ext_low["wall_s"],
-                    f"extraction_{MID_CPUS}c": ext_mid["wall_s"],
-                    f"extraction_{CPUS}c": ext_high["wall_s"],
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"sf1": sf1_block} if sf1_block else {}),
-                "control": {
-                    "corpus": "round-1-comparable (gray images only, no pdf/color/embed/skew)",
-                    "docs": ctl["docs"],
-                    f"docs_per_sec_{CPUS}c": ctl["docs_per_sec"],
-                    "wall_s": ctl["wall_s"],
-                },
-                "extraction": {
-                    "bench_docs": ext_high["docs"],
-                    f"docs_per_sec_{LOW_CPUS}c": ext_low["docs_per_sec"],
-                    f"docs_per_sec_{MID_CPUS}c": ext_mid["docs_per_sec"],
-                    f"docs_per_sec_{CPUS}c": ext_high["docs_per_sec"],
-                    "scaling_efficiency": round(eff_exec, 3),
-                    "executor_scaling": {
-                        "mode": "local-cluster (separate executor JVMs)",
-                        "protocol": "interleaved A/B/A/B pairs; headline = median-of-pairs (see BENCH/BASELINE.md)",
-                        "docs_per_sec_1_executor": exe_1["docs_per_sec"],
-                        "docs_per_sec_4_executors": exe_4["docs_per_sec"],
-                        "executors_pair": [1, 4],
-                        "cores_per_executor": 2,
-                        "pair_efficiencies": [round(p, 3) for p in pair_effs],
-                        "efficiency_min_of_level": round(eff_min_level, 3),
-                        "efficiency_max_of_pairs": round(max(pair_effs), 3),
-                        "efficiency_min_of_pairs": round(min(pair_effs), 3),
-                        "efficiency_n_to_4n_executors": round(eff_exec, 3),
-                    },
-                    "thread_scaling": {
-                        "efficiency_2c_to_8c": round(eff_n_4n, 3),
-                        "efficiency_8c_to_32c": round(eff_4n_16n, 3),
-                        "note": "8->32c is DRAM-bandwidth-bound on this shared box; see BENCH/BASELINE.md",
-                    },
-                },
-            }
-        )
-    )
+    full_record = {
+        "metric": "headline queries + extraction pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            **timings,
+            "extraction_1exec_2c": exe_1["wall_s"],
+            "extraction_4exec_8c": exe_4["wall_s"],
+            f"extraction_{LOW_CPUS}c": ext_low["wall_s"],
+            f"extraction_{MID_CPUS}c": ext_mid["wall_s"],
+            f"extraction_{CPUS}c": ext_high["wall_s"],
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **({"sf1": sf1_block} if sf1_block else {}),
+        "control": {
+            "corpus": "round-1-comparable (gray images only, no pdf/color/embed/skew)",
+            "docs": ctl["docs"],
+            f"docs_per_sec_{CPUS}c": ctl["docs_per_sec"],
+            "wall_s": ctl["wall_s"],
+        },
+        "extraction": {
+            "bench_docs": ext_high["docs"],
+            f"docs_per_sec_{LOW_CPUS}c": ext_low["docs_per_sec"],
+            f"docs_per_sec_{MID_CPUS}c": ext_mid["docs_per_sec"],
+            f"docs_per_sec_{CPUS}c": ext_high["docs_per_sec"],
+            "scaling_efficiency": round(eff_exec, 3),
+            "executor_scaling": {
+                "mode": "local-cluster (separate executor JVMs)",
+                "protocol": "interleaved A/B/A/B pairs; headline = median-of-pairs (see BENCH/BASELINE.md)",
+                "docs_per_sec_1_executor": exe_1["docs_per_sec"],
+                "docs_per_sec_4_executors": exe_4["docs_per_sec"],
+                "executors_pair": [1, 4],
+                "cores_per_executor": 2,
+                "pair_efficiencies": [round(p, 3) for p in pair_effs],
+                "efficiency_min_of_level": round(eff_min_level, 3),
+                "efficiency_max_of_pairs": round(max(pair_effs), 3),
+                "efficiency_min_of_pairs": round(min(pair_effs), 3),
+                "efficiency_n_to_4n_executors": round(eff_exec, 3),
+            },
+            "thread_scaling": {
+                "efficiency_2c_to_8c": round(eff_n_4n, 3),
+                "efficiency_8c_to_32c": round(eff_4n_16n, 3),
+                "note": "8->32c is DRAM-bandwidth-bound on this shared box; see BENCH/BASELINE.md",
+            },
+        },
+    }
+
+    # Round 6 (VERDICT r5 #1): the r5 driver record came back
+    # "parsed": null because this single JSON line outgrew the driver's
+    # stdout-tail capture once the sf1 per-query block landed. The FULL
+    # record now goes to a file (BENCH/bench_full_latest.json + a
+    # history copy), and stdout carries a COMPACT line — headline
+    # scalars, per-query sf0.1 timings, efficiency pairs, and the sf1
+    # block summarized to {n_queries, worst/median linearity} — that
+    # fits the tail budget with a wide margin.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    for path in ("bench_full_latest.json", f"bench_full_{stamp}.json"):
+        with open(os.path.join(bench_dir, path), "w") as fh:
+            json.dump(full_record, fh, indent=1)
+            fh.write("\n")
+
+    compact = {
+        "metric": full_record["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": full_record["sf"],
+        "control_docs_per_sec": ctl["docs_per_sec"],
+        "extraction": {
+            "bench_docs": ext_high["docs"],
+            "docs_per_sec_1_executor": exe_1["docs_per_sec"],
+            "docs_per_sec_4_executors": exe_4["docs_per_sec"],
+            "scaling_efficiency": round(eff_exec, 3),
+            "pair_efficiencies": [round(p, 3) for p in pair_effs],
+            "efficiency_min_of_level": round(eff_min_level, 3),
+            f"docs_per_sec_{CPUS}c": ext_high["docs_per_sec"],
+        },
+        "full_record": "BENCH/bench_full_latest.json",
+    }
+    if sf1_block:
+        lin = sf1_block["linearity_vs_sf0.1"]
+        worst = max(lin, key=lambda k: lin[k])
+        compact["sf1"] = {
+            "n_queries": len(lin),
+            "worst_linearity": lin[worst],
+            "worst_query": worst,
+            "median_linearity": round(statistics.median(lin.values()), 2),
+        }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -389,6 +389,27 @@ def _adaptive_planes(n_vecs: int) -> int:
     return min(_LSH_MAX_PLANES, max(_LSH_MIN_PLANES, raw))
 
 
+def emb_stats(df, col: str = "embedding", id_col: str = "vec_id"):
+    """(n_rows, canonical_dim, n_dropped) in ONE Spark job (round 6 —
+    VERDICT r5 #4: the adaptive-sizing paths previously burned a
+    min_by agg + a filter-count + a separate count(), three full store
+    scans before any real work started). One groupBy over size(col)
+    yields a handful of (dim, cnt, min_id) rows; everything derives
+    driver-side. Canonical dim = the dim of the globally smallest id —
+    the same min_by semantics as embedding_dim_and_dropped, so every
+    pinned floor keeps its exact behavior."""
+    rows = (
+        df.groupBy(F.size(col).alias("dim"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("min_id"))
+        .collect()
+    )
+    if not rows:
+        return 0, 0, 0
+    n = int(sum(r["cnt"] for r in rows))
+    canon = min(rows, key=lambda r: r["min_id"])
+    return n, int(canon["dim"]), n - int(canon["cnt"])
+
+
 def embedding_dim_and_dropped(df, col: str = "embedding", id_col: str = "vec_id"):
     """Canonical embedding dim (the dim of the smallest id — deterministic
     at any cluster size) plus the COUNT of rows whose dim differs.
@@ -506,16 +527,18 @@ def _hyperplane_id_pairs(emb):
     over members; vec_id stays as the deterministic tie-break."""
     import warnings
 
-    dim, dropped = embedding_dim_and_dropped(emb)
+    # one grouped agg (emb_stats) yields n + dim + dropped together —
+    # the store is scanned ONCE for sizing, not three times (round 6);
+    # n sizes the per-table bucket space (round 5): constant mean
+    # occupancy at any n, so candidate volume stays
+    # O(n·occupancy·tables) instead of saturating at n·cap·tables
+    n_rows, dim, dropped = emb_stats(emb)
     if dropped:
         warnings.warn(
             f"hyperplane ann: {dropped} rows dropped (embedding dim != {dim})",
             stacklevel=2,
         )
-    # one cheap count() sizes the per-table bucket space to the store
-    # (round 5): constant mean occupancy at any n, so candidate volume
-    # stays O(n·occupancy·tables) instead of saturating at n·cap·tables
-    n_planes = _adaptive_planes(emb.count())
+    n_planes = _adaptive_planes(n_rows)
     e = emb.select(
         "vec_id",
         F.explode(_hyperplane_buckets_udf(dim, n_planes)("embedding")).alias("bucket"),
@@ -531,7 +554,14 @@ def _hyperplane_id_pairs(emb):
         .join(reps.select(F.col("vec_id").alias("rv"), "bucket"), "bucket")
         .filter(F.col("qv") != F.col("rv"))
         .select(F.least("qv", "rv").alias("ua"), F.greatest("qv", "rv").alias("ub"))
-        .dropDuplicates(["ua", "ub"])
+        # collisions = number of (table, direction) co-bucketings — the
+        # pair-dedup groupBy the old dropDuplicates already paid, now
+        # also yielding the OR-amplification evidence: a true near-dup
+        # co-buckets in ~all tables, a random false positive in ~2^-planes
+        # of them. _cap_pair_degree ranks candidate neighbors by this
+        # weight (round 6), so degree capping evicts noise pairs first.
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("collisions"))
     )
 
 
@@ -593,7 +623,7 @@ _ivf_cache: dict = {}
 # quadratic in n at constant k (20k vectors → 116M candidate cosines).
 # Fix: k scales to PRESERVE the swept operating point's mean occupancy
 # (2000/48 ≈ 42 vectors/cell) at every n, so per-query candidate work
-# stays ~nprobe·42 = constant. Clamped to [48, 1024]: below 2016
+# stays ~nprobe·42 = constant. Clamped to [48, 8192]: below 2016
 # vectors nothing changes (every measured floor/golden keeps its exact
 # round-4 config). The k cap is set by DRIVER training cost, not taste:
 # spherical k-means on an 8·k sample is O(iters·8k·k·dim) BLAS flops —
@@ -633,7 +663,7 @@ def _spherical_kmeans(X: np.ndarray, k: int = None, iters: int = None) -> np.nda
     return C
 
 
-def _ivf_centroids(spark, sf) -> np.ndarray:
+def _ivf_centroids(spark, sf, n: int | None = None) -> np.ndarray:
     """Seeded spherical k-means on a bounded sample — deterministic,
     bounded driver memory at any corpus size. Round 5: k adapts to the
     store (_adaptive_ivf_k) and the sample is the max(_IVF_TRAIN_CAP,
@@ -643,7 +673,8 @@ def _ivf_centroids(spark, sf) -> np.ndarray:
     2048 vectors every row is sampled either way, so the measured
     sf0.001/sf0.01 floors keep their exact round-4 centroids)."""
     e = t(spark, sf, "embeddings")
-    n = e.count()
+    if n is None:  # callers that already sized the store pass n (round 6)
+        n = e.count()
     k = _adaptive_ivf_k(n)
     cap = max(_IVF_TRAIN_CAP, 8 * k)
     key = (sf, k, cap)
@@ -701,10 +732,20 @@ def d15(spark, sf):
     probe cells are distinct, so each (q, v) pair matches at most once —
     no dedup aggregate needed. Work scales with cell occupancy × nprobe,
     never corpus²."""
-    return ivf_topk(t(spark, sf, "embeddings"), _ivf_centroids(spark, sf))
+    e = t(spark, sf, "embeddings")
+    # ONE sizing scan shared by trainer and query path (round 6 —
+    # VERDICT r5 #4: this used to be a count() in the trainer plus an
+    # agg + filter-count inside ivf_topk, three store scans)
+    stats = emb_stats(e)
+    if stats[0] > _IVF2_THRESHOLD:
+        # past the flat trainer's k cap the two-level coarse quantizer
+        # takes over (round 6 — VERDICT r5 #3); every sf at or below
+        # the measured decades stays on the flat path bit-for-bit
+        return ivf2_topk(e, stats=stats)
+    return ivf_topk(e, _ivf_centroids(spark, sf, n=stats[0]), stats=stats)
 
 
-def ivf_topk(e, C: np.ndarray):
+def ivf_topk(e, C: np.ndarray, stats: tuple[int, int, int] | None = None):
     """d15's reusable core over any (vec_id, embedding) DataFrame given
     trained centroids: home-cell assignment, nprobe probing, exact
     cosine re-rank top-3. d29 runs this exact code over the planted
@@ -712,7 +753,7 @@ def ivf_topk(e, C: np.ndarray):
     licensing a brute-force DuckDB value oracle."""
     home = _ivf_cells_udf(C, 1)
     probe = _ivf_cells_udf(C, _IVF_NPROBE)
-    _, dropped = embedding_dim_and_dropped(e)
+    _, _, dropped = emb_stats(e) if stats is None else stats
     if dropped:
         import warnings
 
@@ -740,6 +781,198 @@ def ivf_topk(e, C: np.ndarray):
         .repartition(F.col("cell"))
     )
     j = qs.join(data, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    sims = j.select(
+        "q_id", "vec_id",
+        F.round(_cosine(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
+        "q_id", "vec_id", "cosine"
+    )
+
+
+# ---------------------------------------------------------------- ivf2
+# Two-level IVF coarse quantizer (round 6 — VERDICT r5 #3, the one
+# remaining ANN scale wall). Single-level IVF holds occupancy at
+# _IVF_TARGET_CELL only while k = n/42 fits under _IVF_MAX_K, i.e. to
+# n ≈ 344k vectors; past that the DRIVER-side trainer is the binding
+# constraint (k-means cost and the k·dim closure both grow with k).
+# The two-level scheme removes the driver from the scaling path:
+#
+#   top level   K1 ≈ √(n/42) centroids — trained driver-side exactly
+#               like _ivf_centroids (K1 stays ≤ _IVF_MAX_K until
+#               n ≈ 42·8192² ≈ 2.8e9 vectors; closure ≤ K1·dim doubles,
+#               ~4 MB at the cap)
+#   sub level   k2 ≈ K1 centroids PER top cell — trained DISTRIBUTED,
+#               one applyInPandas task per top cell over a hash-ranked
+#               8·k2-row sample (the _ivf_centroids sample rule, pushed
+#               into the cluster), so total leaf count K1·k2 ≈ n/42
+#               at any n with no driver bottleneck
+#   assignment  cogroup(vectors-by-top-cell, sub-centroids-by-top-cell)
+#               → one batched matmul per cell; leaf = tcell·STRIDE+sub
+#   probing     queries probe _IVF2_TOP_PROBE top cells × _IVF2_SUB_PROBE
+#               leaves each (16 leaves ≈ the flat path's nprobe=14), so
+#               per-query candidate work stays ~16·42 cosines at any n
+#
+# The final leaf-equi-join + exact-cosine re-rank is byte-identical in
+# shape to the flat ivf_topk (ids+embedding co-partitioned by leaf, one
+# match per (q, v) pair since a vector holds ONE leaf and probe leaves
+# are distinct). d15 switches to this path automatically past
+# _IVF2_THRESHOLD; every measured floor/golden below the threshold
+# keeps the flat path bit-for-bit.
+_IVF2_THRESHOLD = _IVF_MAX_K * _IVF_TARGET_CELL  # ≈ 344k vectors
+_IVF2_TOP_PROBE = 4
+_IVF2_SUB_PROBE = 4
+_IVF2_LEAF_STRIDE = 1 << 20  # leaf id = tcell * STRIDE + sub (k2 << STRIDE)
+
+
+def _train_centroids_df(e, k: int) -> np.ndarray:
+    """_ivf_centroids' trainer generalized to any (vec_id, embedding)
+    DataFrame (no sf-keyed cache): seeded spherical k-means over the
+    max(_IVF_TRAIN_CAP, 8k) lowest-xxhash64 rows, vec_id-sorted so the
+    centroids are deterministic at any parallelism."""
+    cap = max(_IVF_TRAIN_CAP, 8 * k)
+    rows = (
+        e.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(cap)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    vecs = [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    X = np.stack([v for v in vecs if v.shape == vecs[0].shape])
+    return _spherical_kmeans(X, k=min(k, len(X)))
+
+
+def _ivf2_sub_centroids(data_top, k2: int):
+    """(vec_id, embedding, tcell) → one row per top cell holding that
+    cell's flattened sub-centroid matrix: (tcell, cents, k, dim).
+    Training is DISTRIBUTED — per-cell hash-ranked 8·k2-row sample via
+    row_number (never a whole-cell collect), then one seeded
+    _spherical_kmeans per cell inside applyInPandas; rows are
+    vec_id-sorted in-group so centroids don't depend on shuffle arrival
+    order."""
+    wc = Window.partitionBy("tcell").orderBy(F.xxhash64("vec_id"), "vec_id")
+    sample = (
+        data_top.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= 8 * k2)
+        .drop("rn")
+    )
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        vecs = [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        X = np.stack([v for v in vecs if v.shape == vecs[0].shape])
+        C = _spherical_kmeans(X, k=min(k2, len(X)))
+        return pd.DataFrame(
+            {
+                "tcell": [int(pdf["tcell"].iloc[0])],
+                "cents": [C.ravel().tolist()],
+                "k": [int(C.shape[0])],
+                "dim": [int(C.shape[1])],
+            }
+        )
+
+    return sample.groupBy("tcell").applyInPandas(
+        train, schema="tcell long, cents array<double>, k int, dim int"
+    )
+
+
+def _ivf2_assign(vecs_top, subc, nsub: int):
+    """Cogroup (vectors by top cell) × (that cell's sub-centroids) →
+    (vec_id, embedding, leaf) with each vector's `nsub` nearest leaves
+    in its top cell — one batched matmul per cell, stable argsort so
+    dense ties break by centroid index identically everywhere. The
+    embedding rides through (it is already in the cogroup stream;
+    re-attaching it later would cost a second full-width shuffle)."""
+
+    def assign(key, vdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "embedding": pd.Series([], dtype=object),
+                "leaf": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(vdf) == 0 or len(cdf) == 0:
+            return empty
+        k = int(cdf["k"].iloc[0])
+        dim = int(cdf["dim"].iloc[0])
+        C = np.asarray(cdf["cents"].iloc[0], dtype=np.float64).reshape(k, dim)
+        tcell = int(key[0])
+        ids, embs, mats = [], [], []
+        for vid, emb in zip(vdf["vec_id"], vdf["embedding"]):
+            v = np.asarray(emb, dtype=np.float64)
+            if v.shape == (dim,):
+                ids.append(int(vid))
+                embs.append(v)
+                mats.append(v / max(np.linalg.norm(v), 1e-30))
+        if not ids:
+            return empty
+        sims = np.stack(mats) @ C.T
+        m = min(nsub, k)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :m]
+        out_id, out_emb, out_leaf = [], [], []
+        for i in range(len(ids)):
+            for s in top[i]:
+                out_id.append(ids[i])
+                out_emb.append(embs[i].tolist())
+                out_leaf.append(tcell * _IVF2_LEAF_STRIDE + int(s))
+        return pd.DataFrame({"vec_id": out_id, "embedding": out_emb, "leaf": out_leaf})
+
+    return vecs_top.groupby("tcell").cogroup(subc.groupby("tcell")).applyInPandas(
+        assign, schema="vec_id long, embedding array<double>, leaf long"
+    )
+
+
+def ivf2_topk(
+    e,
+    stats: tuple[int, int, int] | None = None,
+    target_cell: int = _IVF_TARGET_CELL,
+    top_probe: int = _IVF2_TOP_PROBE,
+    sub_probe: int = _IVF2_SUB_PROBE,
+):
+    """Two-level IVF top-3 over any (vec_id, embedding) DataFrame — the
+    past-344k scale path (see the block comment above). Same output
+    contract as ivf_topk: (q_id, vec_id, cosine) with cosine rounded to
+    4dp and ties broken by vec_id."""
+    import math
+
+    n, _dim, dropped = emb_stats(e) if stats is None else stats
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"IVF2 ANN: {dropped} rows dropped (embedding dim != canonical)",
+            stacklevel=2,
+        )
+    k_leaf = max(top_probe * sub_probe, n // max(target_cell, 1))
+    K1 = min(_IVF_MAX_K, max(2, math.isqrt(max(k_leaf - 1, 1)) + 1))
+    k2 = -(-k_leaf // K1)
+    if k2 >= _IVF2_LEAF_STRIDE:  # pragma: no cover — 2^20 subs per cell
+        raise ValueError(f"ivf2: k2={k2} exceeds leaf stride")
+    C1 = _train_centroids_df(e, K1)
+    home = _ivf_cells_udf(C1, 1)
+    probe = _ivf_cells_udf(C1, min(top_probe, len(C1)))
+    data_top = e.select(
+        "vec_id", "embedding", F.explode(home("embedding")).alias("tcell")
+    ).filter(F.col("tcell") >= 0)
+    subc = _ivf2_sub_centroids(data_top, k2)
+    data = _ivf2_assign(data_top, subc, 1)
+    q_top = e.select(
+        "vec_id", "embedding", F.explode(probe("embedding")).alias("tcell")
+    ).filter(F.col("tcell") >= 0)
+    qs = (
+        _ivf2_assign(q_top, subc, sub_probe)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "leaf"
+        )
+        # co-partition by leaf — the flat path's round-5 lesson: the
+        # exact-cosine projection fuses into this join's stage, so its
+        # partitioning must be the join key, not the UDF output's
+        .repartition(F.col("leaf"))
+    )
+    j = qs.join(data, "leaf").filter(F.col("vec_id") != F.col("q_id"))
     sims = j.select(
         "q_id", "vec_id",
         F.round(_cosine(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
@@ -1158,19 +1391,33 @@ def d16(spark, sf):
     """PII scrubbing for training data: redact emails + IPv4s, count
     redactions — pure JVM regexp_replace/regexp_count (whole-stage
     codegen, no Python). A deterministic injected suffix on every 7th
-    doc gives the oracle non-trivial redaction counts to value-check."""
+    doc gives the oracle non-trivial redaction counts to value-check.
+
+    Round 6 (VERDICT r5 #7 — d16 was the heaviest LINEAR headline op at
+    sf10, 54.1 s): a cheap candidate prefilter gates the four expensive
+    regex passes. Both patterns have a NECESSARY cheap substring/shape:
+    the email regex can't match without a literal '@' and the IPv4
+    regex can't match without digit-dot-digit, so non-candidate docs
+    (the overwhelming majority of a real corpus) skip all four
+    alternation-heavy regex scans via codegen's lazy CASE WHEN and the
+    output is provably identical."""
     d = t(spark, sf, "documents")
     itext = F.when(
         F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_PII_SUFFIX))
     ).otherwise(F.col("text"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(itext, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
-        F.lit(_IPV4_RE),
-        F.lit("<IP>"),
-    )
-    n_red = (
-        F.regexp_count(itext, F.lit(_EMAIL_RE)) + F.regexp_count(itext, F.lit(_IPV4_RE))
-    ).cast("int")
+    cand = itext.contains("@") | itext.rlike(r"\d\.\d")
+    scrubbed = F.when(
+        cand,
+        F.regexp_replace(
+            F.regexp_replace(itext, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(_IPV4_RE),
+            F.lit("<IP>"),
+        ),
+    ).otherwise(itext)
+    n_red = F.when(
+        cand,
+        F.regexp_count(itext, F.lit(_EMAIL_RE)) + F.regexp_count(itext, F.lit(_IPV4_RE)),
+    ).otherwise(F.lit(0)).cast("int")
     return d.select("doc_id", scrubbed.alias("scrubbed"), n_red.alias("n_redactions"))
 
 
@@ -1868,15 +2115,73 @@ def d26(spark, sf):
     return embedding_dedup_pipeline(t(spark, sf, "embeddings"), threshold=0.30)
 
 
+# Round 6 (VERDICT r5 #5): per-vertex candidate-degree cap ahead of the
+# exact-cosine verify. The sf10 decade measured d26 at ~1.5× linear, and
+# the residual is the verify stage inside K-member near-dup clusters: the
+# bucket-level cap already bounds pairs at O(K·_ANN_BUCKET_CAP), but a
+# viral-boilerplate crawl has K in the thousands and every one of those
+# K·64 pairs bought a full-dim cosine + two embedding join-backs.
+# Connectivity for components needs O(K) edges, not O(K·64): keep, per
+# vertex, only its _VERIFY_NEIGHBOR_CAP lowest-xxhash64 candidate
+# neighbors (an edge survives if EITHER endpoint keeps it). In a
+# near-identical K-cluster every member's candidate set contains the
+# bucket representatives — ranked by the SAME xxhash64(vec_id) — so the
+# globally smallest-hash representative is rank-1 in every member's
+# list: the kept edge set contains a star over the whole cluster, every
+# star edge verifies (near-identical ⇒ cosine ≥ threshold), and the
+# component + keep answer is unchanged (d38's planted 100-member-cluster
+# golden value-proves exactly this). Sparse stores are untouched: a
+# vertex with ≤ cap candidates keeps them all, so d28's chain golden is
+# bit-identical. Cap 16 = 2.7× the verify work headroom over the
+# bucket cap while staying ≥ 3× the largest planted chain degree.
+_VERIFY_NEIGHBOR_CAP = 16
+
+
+def _cap_pair_degree(pairs, cap: int = _VERIFY_NEIGHBOR_CAP):
+    """Undirected (ua, ub, collisions) candidate pairs → (ua, ub) with
+    per-vertex degree bounded: each vertex ranks its candidate
+    neighbors by (collisions DESC, xxhash64(neighbor), neighbor) and
+    keeps the first `cap`; the union of both directions is
+    re-canonicalized (an edge survives if EITHER endpoint keeps it).
+    Ranking by co-bucket multiplicity is what makes the cap
+    recall-safe: OR-amplified LSH co-buckets a true near-dup pair in
+    ~every table but a random false positive in ~2^-planes of them, so
+    on a small/noisy store (few planes, many accidental candidates) the
+    cap evicts noise pairs, never the near-dup edges — pure hash
+    ranking measurably broke the d28 chain golden here. Inside a
+    near-identical K-cluster all pairs tie at max collisions and the
+    hash tie-break takes over: every member's candidate set contains
+    the bucket representatives, ranked by the same xxhash64, so the
+    smallest-hash representative is kept by every member — a star over
+    the cluster at O(K·cap) total edges. Total surviving edges are
+    O(n·cap); one vertex may still RECEIVE many edges (the star hub),
+    which is exactly what keeps giant clusters connected."""
+    directed = pairs.select(
+        F.col("ua").alias("u"), F.col("ub").alias("v"), "collisions"
+    ).unionAll(pairs.select(F.col("ub").alias("u"), F.col("ua").alias("v"), "collisions"))
+    w = Window.partitionBy("u").orderBy(
+        F.col("collisions").desc(), F.xxhash64("v"), "v"
+    )
+    return (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select(F.least("u", "v").alias("ua"), F.greatest("u", "v").alias("ub"))
+        .dropDuplicates(["ua", "ub"])
+    )
+
+
 def embedding_dedup_pipeline(emb, threshold: float):
     """d26's reusable core over any (vec_id, embedding) DataFrame: LSH
-    candidate id pairs (capped, ids-only shuffle) → slim join-back →
-    exact double cosine >= threshold → components → keep. d28 runs this
-    exact code over a planted near-dup fixture where LSH candidate
-    recall at the threshold is 1.0 by construction, so DuckDB can
-    brute-force the same (vec_id, component, keep) answer — the full
-    value oracle for the pipeline."""
-    pairs = _hyperplane_id_pairs(emb)  # ids-only shuffle, capped hot buckets
+    candidate id pairs (capped, ids-only shuffle) → per-vertex degree
+    cap (round 6 — O(K) verified edges per K-cluster, see
+    _VERIFY_NEIGHBOR_CAP) → slim join-back → exact double cosine >=
+    threshold → components → keep. d28 runs this exact code over a
+    planted near-dup fixture where LSH candidate recall at the
+    threshold is 1.0 by construction, so DuckDB can brute-force the
+    same (vec_id, component, keep) answer — the full value oracle for
+    the pipeline; d38 does the same over a planted 100-member cluster,
+    value-proving the degree cap preserves the keep-set."""
+    pairs = _cap_pair_degree(_hyperplane_id_pairs(emb))
     ea = emb.select(F.col("vec_id").alias("ua"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("ub"), F.col("embedding").alias("eb"))
     verified = (
@@ -1992,17 +2297,126 @@ def d28_oracle_sql() -> str:
     CTE components. Matching d28's LSH→verify→components answer proves
     the whole approximate pipeline end-to-end on a store where its
     recall is 1.0 by construction."""
+    return _bruteforce_components_sql(neardup_store_dir(), _NEARDUP_THRESHOLD)
+
+
+@q("d28_embedding_dedup_golden")  # oracle registered lazily (embeds store path)
+def d28(spark, sf):
+    """d26's pipeline under a FULL value oracle (VERDICT r3 #4): the
+    exact embedding_dedup_pipeline code — capped LSH candidates,
+    ids-only shuffle, slim join-back, exact cosine verify, star-
+    contraction components, keep decision — over the deterministic
+    planted near-dup store, where DuckDB can brute-force the same
+    (vec_id, component, keep) drop-list. sf_dir is ignored (own fixture,
+    the x03/x06/x08 precedent)."""
+    import os
+
+    emb = spark.read.parquet(os.path.join(neardup_store_dir(), "embeddings.parquet"))
+    return embedding_dedup_pipeline(emb, threshold=_NEARDUP_THRESHOLD)
+
+
+# d38 golden fixture (round 6, VERDICT r5 #5): ONE 100-member
+# near-identical cluster — the viral-boilerplate shape whose O(K²)
+# verify cost motivated _VERIFY_NEIGHBOR_CAP — plus chains and
+# singletons. Every intra-cluster cosine sits ≥ 0.99 (noise 0.008
+# around a unit center), far above the 0.90 threshold, so EVERY edge the
+# degree-capped verify keeps inside the cluster passes, and the star
+# over the smallest-hash bucket representative connects all 100 members:
+# brute-force DuckDB components must agree exactly. Chains re-use the
+# d28 dead-band construction so truncation-sensitive mid-band pairs
+# cannot exist.
+_BIGC_MEMBERS = 100
+_BIGC_CHAINS = ((3,) * 4) + ((4,) * 3)  # 7 chains, 24 vectors
+_BIGC_SINGLETONS = 150
+_BIGC_DIM = 64
+_BIGC_VERSION = "v1"
+
+
+def bigcluster_store_dir() -> str:
+    """Deterministic 100-member-cluster embedding store under the
+    per-user cache (same atomic-rename pattern as neardup_store_dir)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conf import cache_root
+
+    d = os.path.join(cache_root(), f"bigcluster_store_{_BIGC_VERSION}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        vecs: list[np.ndarray] = []
+        crng = np.random.Generator(np.random.PCG64(4242))
+        center = crng.standard_normal(_BIGC_DIM)
+        center /= np.linalg.norm(center)
+        for _ in range(_BIGC_MEMBERS):
+            v = center + 0.008 * crng.standard_normal(_BIGC_DIM)
+            vecs.append(v / np.linalg.norm(v))
+        G = np.stack(vecs)
+        if (G @ G.T)[np.triu_indices(len(G), k=1)].min() < 0.99:  # pragma: no cover
+            raise RuntimeError("bigcluster store: cluster not tight enough")
+        for g, size in enumerate(_BIGC_CHAINS):
+            for salt in range(256):
+                rng = np.random.Generator(np.random.PCG64(50_000 + 1000 * g + salt))
+                chain = [rng.standard_normal(_BIGC_DIM)]
+                chain[0] /= np.linalg.norm(chain[0])
+                for _ in range(size - 1):
+                    v = chain[-1] + 0.036 * rng.standard_normal(_BIGC_DIM)
+                    chain.append(v / np.linalg.norm(v))
+                C_ = np.stack(chain)
+                gc = (C_ @ C_.T)[np.triu_indices(size, k=1)]
+                if np.abs(gc - _NEARDUP_THRESHOLD).min() > 0.005:
+                    vecs.extend(chain)
+                    break
+            else:  # pragma: no cover
+                raise RuntimeError(f"bigcluster store: chain {g} never cleared the band")
+        srng = np.random.Generator(np.random.PCG64(777))
+        for _ in range(_BIGC_SINGLETONS):
+            v = srng.standard_normal(_BIGC_DIM)
+            vecs.append(v / np.linalg.norm(v))
+        X = np.stack(vecs)
+        allc = (X @ X.T)[np.triu_indices(len(X), k=1)]
+        if np.abs(allc - _NEARDUP_THRESHOLD).min() <= 0.005:  # pragma: no cover
+            raise RuntimeError("bigcluster store: a pair landed in the dead band")
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+        if os.path.isdir(d) and not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix=".bigcluster_store_build_", dir=cache_root())
+        pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"), row_group_size=64)
+        open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
+        try:
+            os.rename(tmp, d)  # atomic: readers see all-or-nothing
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def _bruteforce_components_sql(store_dir: str, threshold: float) -> str:
+    """Brute-force all-pairs cosine >= threshold + recursive-CTE
+    components in DuckDB — the shared oracle shape for d28/d38."""
+    import os
+
+    path = os.path.join(store_dir, "embeddings.parquet")
     return f"""
 WITH v AS (
   SELECT vec_id, embedding,
          sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum')) AS nrm
-  FROM read_parquet('{neardup_store_dir()}/embeddings.parquet')
+  FROM read_parquet('{path}')
 ), edges AS (
   SELECT a.vec_id AS a, b.vec_id AS b
   FROM v a JOIN v b ON b.vec_id > a.vec_id
   WHERE list_aggregate(list_transform(a.embedding,
             (x, i) -> x * b.embedding[i]), 'sum') / a.nrm / b.nrm
-        >= {_NEARDUP_THRESHOLD}
+        >= {threshold}
 ),
 verts AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
 bidir AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
@@ -2018,18 +2432,23 @@ SELECT id AS vec_id, component, (id = component) AS keep FROM cc
 """
 
 
-@q("d28_embedding_dedup_golden")  # oracle registered lazily (embeds store path)
-def d28(spark, sf):
-    """d26's pipeline under a FULL value oracle (VERDICT r3 #4): the
-    exact embedding_dedup_pipeline code — capped LSH candidates,
-    ids-only shuffle, slim join-back, exact cosine verify, star-
-    contraction components, keep decision — over the deterministic
-    planted near-dup store, where DuckDB can brute-force the same
-    (vec_id, component, keep) drop-list. sf_dir is ignored (own fixture,
-    the x03/x06/x08 precedent)."""
+def d38_oracle_sql() -> str:
+    return _bruteforce_components_sql(bigcluster_store_dir(), _NEARDUP_THRESHOLD)
+
+
+@q("d38_bigcluster_dedup_golden")  # oracle registered lazily (embeds store path)
+def d38(spark, sf):
+    """The degree-capped verify stage under a FULL value oracle on the
+    worst-case cluster shape (round 6): the exact
+    embedding_dedup_pipeline code — including _cap_pair_degree — over a
+    planted store whose 100-member near-identical cluster would have
+    cost O(K·bucket_cap) exact cosines uncapped. DuckDB brute-forces
+    the same (vec_id, component, keep) drop-list; equality proves the
+    cap preserves connectivity and the keep decision. sf_dir is ignored
+    (own fixture, the x03/x06/x08 precedent)."""
     import os
 
-    emb = spark.read.parquet(os.path.join(neardup_store_dir(), "embeddings.parquet"))
+    emb = spark.read.parquet(os.path.join(bigcluster_store_dir(), "embeddings.parquet"))
     return embedding_dedup_pipeline(emb, threshold=_NEARDUP_THRESHOLD)
 
 

@@ -76,6 +76,18 @@ class FS:
         finally:
             stream.close()
 
+    def read_text_or_empty(self, path: str) -> str:
+        """read_text, but a file deleted between listing and open reads
+        as empty instead of raising — the compaction race (round-6
+        ADVICE): a peer compaction deletes files it has already folded
+        into its own snapshot, so their rows are never lost."""
+        try:
+            return self.read_text(path)
+        except Exception:  # noqa: BLE001 — py4j wraps FileNotFoundException
+            if self.exists(path):  # real I/O error on a live file
+                raise
+            return ""
+
     def write_text_atomic(self, path: str, text: str, tmp_suffix: str) -> None:
         """Create-then-rename: readers see the whole file or nothing on
         rename-atomic filesystems; on object stores the create itself is

@@ -424,21 +424,48 @@ def _manifest_dir(out_path: str) -> str:
     return os.path.join(out_path, "manifest")
 
 
-def read_committed_buckets(spark: SparkSession, out_path: str) -> set[int]:
+def _read_manifest_rows(spark: SparkSession, out_path: str) -> list[dict]:
     from .fsio import FS
 
     fs = FS(spark, out_path)
     mdir = _manifest_dir(out_path)
     names = [f for f in fs.listdir(mdir) if f.endswith(".json")]
-    out: set[int] = set()
+    rows: list[dict] = []
     for f in names:
-        for line in fs.read_text(os.path.join(mdir, f)).splitlines():
-            if not line.strip():
-                continue
-            row = json.loads(line)
-            if row["status"] == "committed":
-                out.add(int(row["bucket"]))
-    return out
+        # read_text_or_empty: a peer compaction may delete a listed file
+        # mid-sweep; its rows are covered by that peer's snapshot
+        for line in fs.read_text_or_empty(os.path.join(mdir, f)).splitlines():
+            if line.strip():
+                rows.append(json.loads(line))
+    return rows
+
+
+def read_committed_buckets(spark: SparkSession, out_path: str) -> set[int]:
+    return {
+        int(r["bucket"])
+        for r in _read_manifest_rows(spark, out_path)
+        if r["status"] == "committed"
+    }
+
+
+def read_manifest_state(spark: SparkSession, out_path: str) -> tuple[set[int], int | None]:
+    """Committed bucket ids + the bucket COUNT the committing run used
+    (None for pre-round-6 manifests that didn't record it). The count
+    matters because bucket = pmod(xxhash64(doc_id), n_buckets): resuming
+    with a different n_buckets silently remaps documents across
+    committed/uncommitted buckets, duplicating or dropping them
+    (round-6 ADVICE fix — durable_run's resume leg used the default 16
+    against a 256-bucket manifest and survived only because {0..15} ⊂
+    {0..255})."""
+    rows = _read_manifest_rows(spark, out_path)
+    committed = {int(r["bucket"]) for r in rows if r["status"] == "committed"}
+    counts = {int(r["n_buckets"]) for r in rows if r.get("n_buckets") is not None}
+    if len(counts) > 1:
+        raise ValueError(
+            f"manifest at {out_path!r} mixes bucket counts {sorted(counts)} — "
+            "the output is not safely resumable; start a fresh out_path"
+        )
+    return committed, (counts.pop() if counts else None)
 
 
 def _append_manifest(fs, out_path: str, rows: list[dict]) -> None:
@@ -489,7 +516,12 @@ def _compact_manifest(fs, out_path: str, run_id: str, max_workers: int | None = 
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        texts = list(pool.map(lambda f: fs.read_text(os.path.join(mdir, f)), names))
+        # read_text_or_empty: a peer compaction sharing out_path may
+        # delete a listed file mid-sweep — its rows are already covered
+        # by that peer's snapshot (round-6 ADVICE race fix)
+        texts = list(
+            pool.map(lambda f: fs.read_text_or_empty(os.path.join(mdir, f)), names)
+        )
     rows = [json.loads(line) for t_ in texts for line in t_.splitlines() if line.strip()]
     # one row per committed bucket (last writer wins — replays rewrite
     # the same bucket deterministically, so any row is equally valid)
@@ -502,8 +534,14 @@ def _compact_manifest(fs, out_path: str, run_id: str, max_workers: int | None = 
         snap,
         tmp_suffix=".tmp",
     )
+    def _delete_quiet(f: str) -> None:
+        try:
+            fs.delete(os.path.join(mdir, f), recursive=False)
+        except Exception:  # noqa: BLE001 — peer already deleted it
+            pass
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        list(pool.map(lambda f: fs.delete(os.path.join(mdir, f), recursive=False), names))
+        list(pool.map(_delete_quiet, names))
     return len(names)
 
 
@@ -526,6 +564,7 @@ def _commit_buckets(
     fail_after: int | None = None,
     parallel_threshold: int | None = None,
     max_workers: int = _COMMIT_MAX_WORKERS,
+    n_buckets: int | None = None,
 ) -> int:
     """Rename every staged bucket dir into final_dir, appending its
     manifest row immediately AFTER its own rename — the per-bucket
@@ -557,6 +596,7 @@ def _commit_buckets(
                     "bucket": int(bdir.split("=")[1]),
                     "status": "committed",
                     "n_docs": None,
+                    "n_buckets": n_buckets,  # resume-safety pin (ADVICE r5)
                     "output_path": dst,
                     "committed_at": ts,
                 }
@@ -620,10 +660,19 @@ def extract_corpus(
     property test (SURVEY §5.3).
     """
     t_start = time.monotonic()
+    committed, manifest_n_buckets = read_manifest_state(spark, out_path)
+    if committed and manifest_n_buckets is not None and manifest_n_buckets != n_buckets:
+        raise ValueError(
+            f"resume bucket-count mismatch at {out_path!r}: manifest was "
+            f"committed with n_buckets={manifest_n_buckets}, this run asked "
+            f"for {n_buckets}. bucket = pmod(xxhash64(doc_id), n_buckets), "
+            "so a different count remaps documents across committed buckets "
+            "and would silently duplicate or drop them — pass the original "
+            f"n_buckets={manifest_n_buckets} (or a fresh out_path)."
+        )
     corpus = load_corpus(spark, in_path).withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast(IntegerType())
     )
-    committed = read_committed_buckets(spark, out_path)
     if committed:
         corpus = corpus.filter(~F.col("bucket").isin(sorted(committed)))
     n_docs = corpus.count()
@@ -662,7 +711,7 @@ def extract_corpus(
     bucket_dirs = [d for d in fs.listdir(staging) if d.startswith("bucket=")]
     committed_now = _commit_buckets(
         fs, staging, final_dir, out_path, run_id, ts, bucket_dirs,
-        fail_after=_fail_after_buckets,
+        fail_after=_fail_after_buckets, n_buckets=n_buckets,
     )
     # the commit loop finished every remaining bucket → fold the
     # per-bucket manifest files (this run's + prior partial runs') into

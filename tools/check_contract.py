@@ -28,6 +28,13 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query names to check (default: all)")
     ns = ap.parse_args()
     sf, args = ns.sf, ns.names
+    # Fail fast on a bad --sf (round-6, VERDICT r5 #6): a bare "0.01"
+    # otherwise produces 70+ bogus FileNotFound FAILs after a 40 s
+    # Spark startup instead of one loud message.
+    if not os.path.isdir(sf):
+        print(f"error: --sf path is not a directory: {sf!r} "
+              f"(expected e.g. /root/testdata/sf0.01)", file=sys.stderr)
+        return 2
 
     import __spark_entry__ as entry
     from text_extraction_spark.conf import get_spark

@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--fail-after", type=int, default=None)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="keep existing output and resume it (skip the fresh-start rmtree)",
+    )
     args = ap.parse_args()
 
     from text_extraction_spark.conf import cache_root, get_spark, stop_active
@@ -49,9 +53,12 @@ def main() -> None:
 
     corpus = scale_corpus(args.docs)
     out = os.path.join(cache_root(), f"durable_out_{args.docs}_{args.buckets}")
-    import shutil
+    if not args.resume:
+        # fresh start only — re-invoking with --resume preserves the
+        # partial state a crash-replay needs (round-6 ADVICE fix)
+        import shutil
 
-    shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
     stop_active()
     spark = get_spark(
         f"local[{args.cpus}]",
@@ -60,13 +67,26 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.monotonic()
-    res = extract_corpus(
-        spark, corpus, out, run_id="d1", n_buckets=args.buckets,
-        _fail_after_buckets=args.fail_after,
-    )
+    crashed = False
+    try:
+        res = extract_corpus(
+            spark, corpus, out, run_id="d1", n_buckets=args.buckets,
+            _fail_after_buckets=args.fail_after,
+        )
+    except RuntimeError:
+        # the simulated --fail-after crash; the resume leg below IS the
+        # exercise — it must complete the job from the partial manifest
+        # (round-6 ADVICE fix: this used to propagate and kill the tool)
+        if args.fail_after is None:
+            raise
+        crashed = True
+        res = {"buckets_committed": None, "spans_out": None}
     wall = time.monotonic() - t0
     t1 = time.monotonic()
-    res2 = extract_corpus(spark, corpus, out, run_id="d2")
+    # resume with the SAME n_buckets — extract_corpus now asserts the
+    # manifest's recorded count matches (round-6 ADVICE fix: the old
+    # default-16 resume only worked because {0..15} ⊂ {0..255})
+    res2 = extract_corpus(spark, corpus, out, run_id="d2", n_buckets=args.buckets)
     resume_noop_s = time.monotonic() - t1
     from text_extraction_spark.fsio import FS
     from text_extraction_spark.pipeline import _manifest_dir
@@ -83,6 +103,15 @@ def main() -> None:
                 "docs_per_sec": round(args.docs / wall, 1),
                 "buckets_committed": res["buckets_committed"],
                 "spans_out": res["spans_out"],
+                **(
+                    {
+                        "simulated_crash": True,
+                        "resume_recommitted": res2["buckets_committed"],
+                        "resume_spans_out": res2.get("spans_out"),
+                    }
+                    if crashed
+                    else {}
+                ),
                 "resume_noop_s": round(resume_noop_s, 2),
                 "resume_skipped": res2["skipped"],
                 "manifest_files_after_completion": manifest_files,
