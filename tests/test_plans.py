@@ -265,3 +265,24 @@ def test_curation_pipeline_pure_jvm_broadcast(spark):
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_ivf2_leaf_join_is_equi_never_nested_loop(spark):
+    """ivf2 (round 6): the two-level candidate join must be an
+    equi-join on `leaf` — a BroadcastNestedLoop/Cartesian anywhere in
+    the hierarchy means the scale path silently degraded to corpus²,
+    which is exactly what the two-level quantizer exists to prevent."""
+    import numpy as np
+
+    from text_extraction_spark import dataops
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vecs = [v / np.linalg.norm(v) for v in rng.standard_normal((200, 16))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(dataops.ivf2_topk(df, target_cell=8))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "leaf" in plan  # the equi-join key is the leaf cell

@@ -92,6 +92,9 @@ def main() -> None:
     from text_extraction_spark.pipeline import _manifest_dir
 
     manifest_files = len(FS(spark, out).listdir(_manifest_dir(out)))
+    # end-to-end completeness: the committed table must hold every doc
+    # exactly once regardless of crash/resume path (round 6)
+    extracted_docs = spark.read.parquet(os.path.join(out, "extracted")).count()
     stop_active()
     print(
         json.dumps(
@@ -115,6 +118,8 @@ def main() -> None:
                 "resume_noop_s": round(resume_noop_s, 2),
                 "resume_skipped": res2["skipped"],
                 "manifest_files_after_completion": manifest_files,
+                "extracted_docs": extracted_docs,
+                "extracted_docs_match": extracted_docs == args.docs,
             }
         )
     )
