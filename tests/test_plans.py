@@ -286,3 +286,51 @@ def test_ivf2_leaf_join_is_equi_never_nested_loop(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "leaf" in plan  # the equi-join key is the leaf cell
+
+
+def test_boilerplate_removal_broadcast_anti_join(spark):
+    """d39 (round 6): the boilerplate set is the head of the chunk-
+    frequency Zipf curve — tiny at any corpus size — so the removal
+    join must be a BROADCAST anti-join (the corpus never shuffles by
+    chunk hash outside the frequency agg), and the whole op stays
+    JVM-side."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops.QUERIES["d39_boilerplate_removal"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_cluster_assign_is_map_only(spark):
+    """d40 (round 6): nearest-centroid assignment against a bounded
+    driver-side centroid literal must be a MAP-ONLY scan — zero
+    Exchanges at any store size (the plan the k-means E-step needs to
+    hold at 10^12 vectors), one FileScan, no Python."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops.QUERIES["d40_cluster_assign"](spark, SF))
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_dsir_single_corpus_scan(spark):
+    """d41 (round 6): the bigram explode is the heaviest map stage —
+    the EXECUTED plan must scan documents exactly once, the scoring
+    side riding a ReusedExchange of the (doc, lang, bucket) partial
+    agg (same single-scan rule as d31; the bkt coalesce that makes the
+    join-key non-nullable is what keeps the two subtrees canonically
+    equal)."""
+    from text_extraction_spark import dataops
+
+    df = dataops.QUERIES["d41_dsir_importance"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("Initial Plan")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "ReusedExchange" in final
+    assert "EvalPython" not in final

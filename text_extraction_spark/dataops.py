@@ -3121,3 +3121,313 @@ def d27(spark, sf):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rn"))
     )
+
+
+# ------------------------------------------------- round-6 additions
+# d39/d40/d41: the three most common curation ops a real 100-TB
+# pipeline runs that this plane did not yet cover as first-class
+# value-oracled entries — CCNet-style boilerplate-chunk removal with
+# ordered reassembly, nearest-centroid embedding cluster assignment
+# (the k-means E-step that cluster-balanced sampling and SemDeDup both
+# sit on), and DSIR-style hashed-n-gram importance scoring against a
+# target distribution. (Reference citations impossible — /root/reference
+# is empty; spec anchors: task brief "operations a large-scale
+# training-data pipeline would need", BASELINE.json input_hint.)
+
+_BOILER_DF = 3  # a chunk seen in >= this many DISTINCT docs is boilerplate
+
+_D39_SQL = f"""
+WITH paras AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(greatest(CAST(ceil(len(string_split(text, ' ')) / {_PARA_WORDS}.0) AS BIGINT), 1)),
+             i -> struct_pack(pos := i,
+                  para := array_to_string(string_split(text, ' ')[(i*{_PARA_WORDS}+1):(i*{_PARA_WORDS}+{_PARA_WORDS})], ' '))
+         )) AS pp
+  FROM documents
+),
+flat AS (SELECT doc_id, pp.pos AS pos, pp.para AS para FROM paras),
+boiler AS (
+  SELECT md5(para) AS h FROM flat GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= {_BOILER_DF}
+),
+kept AS (SELECT * FROM flat WHERE md5(para) NOT IN (SELECT h FROM boiler)),
+agg AS (
+  SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id,
+         greatest(CAST(ceil(len(string_split(text, ' ')) / {_PARA_WORDS}.0) AS BIGINT), 1) AS n_paras
+  FROM documents
+)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_paras - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@q("d39_boilerplate_removal", _D39_SQL)
+def d39(spark, sf):
+    """CCNet-style boilerplate-chunk removal with ordered reassembly:
+    chunk every doc into {12}-word paragraphs (same JVM-side chunking
+    as d17), find chunks whose hash appears in >= 3 DISTINCT docs (the
+    nav-bar / cookie-banner shape), and rebuild each doc's text from
+    the surviving chunks in original order. Unlike d17 (which only
+    REPORTS duplicate chunks) this emits the cleaned corpus — the op a
+    pipeline actually feeds to training.
+
+    Shape at 100 TB: the boilerplate set is the HEAD of the chunk-
+    frequency Zipf curve — tiny relative to the corpus (df >= 3 over
+    10^12 docs is still << the distinct-chunk count that matters) — so
+    it rides as a BROADCAST anti-join; the corpus never shuffles by
+    chunk hash except inside the frequency agg (uniform md5 keys,
+    map-side combine on (hash, doc) partial distinct). Reassembly is
+    ONE shuffle by doc_id (uniform) with an array_sort on collected
+    (pos, para) structs — the same sort_array pattern as A15."""
+    d = t(spark, sf, "documents")
+    words = F.split("text", " ")
+    n_paras = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(_PARA_WORDS))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    paras = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_paras - 1),
+        lambda i: F.array_join(
+            F.slice(words, (i * _PARA_WORDS + 1).cast("int"), _PARA_WORDS), " "
+        ),
+    )
+    flat = d.select("doc_id", F.posexplode(paras).alias("pos", "para"))
+    boiler = (
+        flat.groupBy(F.md5("para").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("h")
+    )
+    kept = flat.join(F.broadcast(boiler), F.md5(flat.para) == F.col("h"), "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s.para,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        d.select("doc_id", n_paras.alias("n_paras"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+_D40_K = 8  # fixed deterministic centroid set: embeddings with vec_id < 8
+
+_D40_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_D40_K}
+),
+sims AS (
+  SELECT e.vec_id, cent.cid,
+         round(
+           list_aggregate(list_transform(e.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(cent.ce[i] AS DOUBLE)), 'sum')
+           / sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+           / sqrt(list_aggregate(list_transform(cent.ce, x -> CAST(x AS DOUBLE) * x), 'sum')),
+         4) AS cosine
+  FROM embeddings e CROSS JOIN cent
+),
+ranked AS (
+  SELECT vec_id, cid, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS rn
+  FROM sims
+)
+SELECT vec_id, cid AS cluster_id, cosine FROM ranked WHERE rn = 1
+"""
+
+
+@q("d40_cluster_assign", _D40_SQL)
+def d40(spark, sf):
+    """Nearest-centroid cluster assignment (the k-means E-step that
+    cluster-balanced sampling, SemDeDup-style semantic dedup, and
+    topic-stratified mixing all sit on) against a FIXED deterministic
+    centroid set (the 8 smallest vec_ids — a stand-in for trained
+    centroids; the assignment math is identical).
+
+    Shape at 100 TB: the centroids are a driver-side BOUNDED literal
+    (the faiss/IVF trainer shape, same as d15's coarse quantizer), so
+    assignment is a MAP-ONLY scan — per row, k dot products folded
+    left-to-right in DOUBLE inside whole-stage codegen, argmax via
+    greatest() on (cosine, -cid) structs. Zero shuffles at any store
+    size; cosine is rounded BEFORE the argmax on both engines (d27's
+    rule) so float ulps can't flip the winner, and the cid tie-break
+    is total."""
+    e = t(spark, sf, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") < _D40_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    def dot_lit(vec):
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with("embedding", arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm_lit(vec):
+        s = 0.0
+        for x in vec:
+            s += float(x) * float(x)
+        return s ** 0.5
+
+    enorm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = [
+        F.struct(
+            F.round(dot_lit(r.embedding) / enorm / F.lit(norm_lit(r.embedding)), 4).alias(
+                "cosine"
+            ),
+            F.lit(-int(r.vec_id)).alias("negcid"),
+        )
+        for r in cents
+    ]
+    best = F.greatest(*scored)
+    return e.select(
+        "vec_id",
+        (-best.negcid).cast("bigint").alias("cluster_id"),
+        best.cosine.alias("cosine"),
+    )
+
+
+_D41_TARGET_LANG = "en"
+_D41_BUCKETS = 256  # 2 hex chars of md5(bigram)
+
+_D41_SQL = f"""
+WITH bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[CAST(i+1 AS INT)] || '_' || string_split(text, ' ')[CAST(i+2 AS INT)])) AS b
+  FROM documents
+),
+bgb AS (
+  SELECT doc_id, lang, substr(md5(b), 1, 2) AS bkt, count(*) AS c
+  FROM bg GROUP BY 1, 2, 3
+),
+bcx AS (
+  SELECT bkt, CAST(sum(c) AS BIGINT) AS bc,
+         CAST(sum(CASE WHEN lang = '{_D41_TARGET_LANG}' THEN c ELSE 0 END) AS BIGINT) AS tc
+  FROM bgb GROUP BY 1
+),
+bcx2 AS (
+  SELECT bkt, bc, tc,
+         CAST(sum(bc) OVER () AS BIGINT) AS nb, CAST(sum(tc) OVER () AS BIGINT) AS nt
+  FROM bcx
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(sum(c * (ln((tc + 1.0) / (nt + {_D41_BUCKETS}))
+                    - ln((bc + 1.0) / (nb + {_D41_BUCKETS})))) / sum(c), 4) + 0.0 AS dsir_score
+FROM bgb JOIN bcx2 USING (bkt)
+GROUP BY doc_id
+"""
+
+
+@q("d41_dsir_importance", _D41_SQL)
+def d41(spark, sf):
+    """DSIR-style importance score (Xie et al. 2023, public): per doc,
+    the mean log-likelihood ratio of its hashed bigrams under the
+    target distribution (here: the corpus's '{en}' slice) vs the
+    background (the whole corpus), add-1 smoothed over 256 hash
+    buckets. High score = looks like the target domain; the standard
+    data-selection filter before pretraining.
+
+    Shape at 100 TB: ONE corpus explode feeds a (doc, lang, bucket)
+    partial agg (d31's single-scan rule — AQE exchange reuse keeps it
+    one FileScan); both bucket tables aggregate from THAT result, are
+    256 rows by construction, and ride as BROADCAST joins; the two
+    totals are broadcast scalars. The per-doc reduce is a weighted avg
+    over <= 256 bucket rows per doc — no shuffle wider than the
+    (doc, bucket) partial agg, no Python anywhere."""
+    d = t(spark, sf, "documents")
+    words = F.split("text", " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                "_", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # coalesce makes bkt NON-NULLABLE, so the join below inserts no
+    # isnotnull(bkt) filters — a probe-side null filter would be pushed
+    # below this aggregate, making the two corpus subtrees canonically
+    # unequal and defeating AQE exchange reuse (observed: 2 FileScans)
+    bgb = (
+        d.select("doc_id", "lang", F.explode(bigrams).alias("b"))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.substring(F.md5("b"), 1, 2), F.lit("")).alias("bkt"),
+        )
+        .groupBy("doc_id", "lang", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # CONDITIONAL aggregation, not a filtered branch: a filter(lang)
+    # before its own groupBy would be pushed below the shared partial
+    # agg into a second corpus scan — folding target counts into the
+    # same 256-row agg keeps every consumer on ONE materialized bgb
+    # exchange (d31's single-scan rule, enforced by the plan pin)
+    bcx = bgb.groupBy("bkt").agg(
+        F.sum("c").alias("bc"),
+        F.sum(
+            F.when(F.col("lang") == _D41_TARGET_LANG, F.col("c")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("tc"),
+    )
+    # the corpus totals are WINDOW sums over the 256-row bucket table —
+    # a separate .agg() branch would re-plan the whole bgb subtree
+    # (AQE only reused one of the two, leaving a second corpus scan);
+    # an unpartitioned window over a constant-size relation costs
+    # nothing and keeps the lineage single-rooted
+    wall = Window.partitionBy()
+    bcx2 = bcx.select(
+        "bkt", "bc", "tc",
+        F.sum("bc").over(wall).alias("nb"),
+        F.sum("tc").over(wall).alias("nt"),
+    )
+    lr = F.log(
+        (F.col("tc") + F.lit(1.0)) / (F.col("nt") + F.lit(float(_D41_BUCKETS)))
+    ) - F.log((F.col("bc") + F.lit(1.0)) / (F.col("nb") + F.lit(float(_D41_BUCKETS))))
+    return (
+        bgb.join(F.broadcast(bcx2), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            # + 0.0 canonicalizes IEEE -0.0 (a score rounding to zero
+            # from below) to +0.0 on both engines — the driver's value
+            # hash distinguishes "0" from "-0"
+            (F.round(F.sum(F.col("c") * lr) / F.sum("c"), 4) + F.lit(0.0)).alias(
+                "dsir_score"
+            ),
+        )
+    )
