@@ -68,6 +68,9 @@ HEADLINE = [
     "d17_paragraph_dedup",
     "d31_unigram_lm_score",
     "d32_vocab_coverage",
+    "d39_boilerplate_removal",  # round 6: broadcast anti-join + reassembly
+    "d40_cluster_assign",  # round 6: map-only k-means E-step
+    "d41_dsir_importance",  # round 6: single-scan importance scoring
     "x01_main_content_extraction",
     "x08_pdf_text_extraction",
 ]
