@@ -175,11 +175,31 @@ def d02(spark, sf):
     return minhash_candidates(t(spark, sf, "documents"))
 
 
+def _with_udf_parallelism(df):
+    """Round 6: a CPU-bound Arrow-UDF stage needs at least one task per
+    core, but a small store (one parquet file under maxPartitionBytes)
+    scans as 1-2 partitions — measured at sf1: the 128-perm MinHash
+    signature stage ran on 2 of 32 cores (7.6 s of d02's 9.9 s). The
+    guard repartitions ONLY when the scan yields fewer splits than the
+    cluster's parallelism; at a real 100-TB store the scan already
+    carries >= defaultParallelism splits and this is a structural
+    no-op (no Exchange added). Per-doc UDF outputs are deterministic
+    regardless of batch composition (reference-twin pinned), so the
+    round-robin shuffle cannot change any result."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_candidates(docs) -> "F.DataFrame":
     """MinHash+LSH candidate pairs over any (doc_id, text) DataFrame —
     the reusable core of d02, exposed so the recall-gate test can drive
     it on a controlled near-dup fixture."""
-    d = docs.select("doc_id", minhash_sig_udf("text").alias("sig"))
+    d = _with_udf_parallelism(docs).select(
+        "doc_id", minhash_sig_udf("text").alias("sig")
+    )
     rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
     bands = d.select(
         "doc_id",
@@ -246,7 +266,9 @@ def d03(spark, sf):
 def simhash_candidates(docs) -> "F.DataFrame":
     """SimHash block-bucketed candidate pairs over any (doc_id, text)
     DataFrame — the reusable core of d03, exposed for the recall gate."""
-    d = docs.select("doc_id", simhash_udf("text").alias("sig"))
+    d = _with_udf_parallelism(docs).select(
+        "doc_id", simhash_udf("text").alias("sig")
+    )
     b = d.select(
         "doc_id",
         "sig",
@@ -1206,7 +1228,9 @@ def d09(spark, sf):
     """Language ID over documents + agreement matrix vs the labeled lang
     column (the testdata text is synthetic word-salad, so agreement is
     diagnostic, not a gate)."""
-    d = t(spark, sf, "documents").select("doc_id", "lang", langid_udf("text").alias("pred"))
+    d = _with_udf_parallelism(t(spark, sf, "documents")).select(
+        "doc_id", "lang", langid_udf("text").alias("pred")
+    )
     return d.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("cnt"))
 
 
