@@ -209,7 +209,17 @@ def minhash_candidates(docs) -> "F.DataFrame":
                 lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band),
             )
         ).alias("band", "band_sig"),
-    ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string"), F.col("band_sig").cast("string")))
+    ).withColumn(
+        # native xxhash64 over (band, sig-array) — the old cast-to-string
+        # materialized a formatted string per (doc, band) row before
+        # hashing (measured at sf1: ~2.3 s of pure string building on
+        # 1.6M rows). Equal band sigs hash equal under ANY hash, so
+        # true-candidate co-bucketing is invariant; accidental
+        # collisions shift, and those are filtered by the exact-Jaccard
+        # verify stage (d13/d20 goldens pin the final keep-sets).
+        "band_hash",
+        F.xxhash64("band", "band_sig"),
+    )
     return _lsh_candidate_pairs(bands)
 
 
