@@ -139,12 +139,13 @@ _CAP_TAIL = (
     # round 6: one extra demotion keeps the under-cap prefix at exactly
     # 50 after the new d38 golden joined the oracle-backed head
     "q29_sliding_window",
-    # round 6 late additions: d39/d40/d41 join the oracle-backed head
-    # (first-time driver verification) — three more r5-green demotions
-    # (flagship q04/q08/q10 shuffle paths stay under the cap)
+    # round 6 late additions: d39/d40/d41/d42 join the oracle-backed
+    # head (first-time driver verification) — four more r5-green
+    # demotions (flagship q04/q08/q10 shuffle paths stay under the cap)
     "q27_grouped_agg_udaf",
     "q28_tumbling_window",
     "q30_session_window",
+    "d08_quality_score",
 )
 
 

@@ -334,3 +334,16 @@ def test_dsir_single_corpus_scan(spark):
     assert final.count("FileScan parquet") == 1, final
     assert "ReusedExchange" in final
     assert "EvalPython" not in final
+
+
+def test_semantic_dedup_cluster_equi_join(spark):
+    """d42 (round 6): the SemDeDup pair stage must be an EQUI-join on
+    cluster_id — a nested-loop/cartesian anywhere means the clustering
+    failed to partition the quadratic problem — and both cosine sides
+    stay JVM-side."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops.QUERIES["d42_semantic_dedup"](spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "cluster_id" in plan
+    assert "EvalPython" not in plan

@@ -3306,7 +3306,14 @@ def d40(spark, sf):
     size; cosine is rounded BEFORE the argmax on both engines (d27's
     rule) so float ulps can't flip the winner, and the cid tie-break
     is total."""
-    e = t(spark, sf, "embeddings")
+    return _centroid_assign(t(spark, sf, "embeddings"))
+
+
+def _centroid_assign(e):
+    """(vec_id, cluster_id, cosine) nearest-centroid assignment against
+    the fixed vec_id < _D40_K centroid set, as a map-only projection —
+    the shared core of d40 and d42 (see d40's docstring for the scale
+    argument)."""
     cents = (
         e.filter(F.col("vec_id") < _D40_K)
         .select("vec_id", "embedding")
@@ -3349,6 +3356,105 @@ def d40(spark, sf):
         "vec_id",
         (-best.negcid).cast("bigint").alias("cluster_id"),
         best.cosine.alias("cosine"),
+    )
+
+
+_D42_TAU = 0.3  # intra-cluster cosine at/above which the larger id drops
+
+_D42_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_D40_K}
+),
+sims AS (
+  SELECT e.vec_id, cent.cid,
+         round(
+           list_aggregate(list_transform(e.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(cent.ce[i] AS DOUBLE)), 'sum')
+           / sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+           / sqrt(list_aggregate(list_transform(cent.ce, x -> CAST(x AS DOUBLE) * x), 'sum')),
+         4) AS cosine
+  FROM embeddings e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(
+          list_aggregate(list_transform(ea.embedding,
+              (x, i) -> CAST(x AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), 'sum')
+          / sqrt(list_aggregate(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+          / sqrt(list_aggregate(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * x), 'sum')),
+        4) >= {_D42_TAU}
+)
+SELECT a.vec_id, a.cid AS cluster_id,
+       (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@q("d42_semantic_dedup", _D42_SQL)
+def d42(spark, sf):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    nearest-centroid clustering partitions the corpus, then exact
+    pairwise cosine WITHIN each cluster; a vector drops iff it is
+    within tau of any smaller-id member of its cluster (deterministic
+    keep-one rule). Output: every vector with its cluster and kept
+    flag.
+
+    Shape at 100 TB: clustering turns the quadratic all-pairs problem
+    into sum-of-k² within clusters — with the centroid count grown
+    ~n/target (d15's trainer rule) per-cluster size stays ~constant
+    and total verify work stays linear. The pair join is an equi-join
+    on cluster_id (never a cartesian); both cosine rounds happen
+    BEFORE the tau compare / argmax so float ulps can't flip a drop
+    decision across engines."""
+    asg = _centroid_assign(t(spark, sf, "embeddings"))
+    e = t(spark, sf, "embeddings")
+    m = asg.select("vec_id", "cluster_id").join(e, "vec_id")
+    a = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(dot / norm(F.col("a_emb")) / norm(F.col("b_emb")), 4) >= _D42_TAU
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropflag", F.lit(True))
+    )
+    return asg.select("vec_id", "cluster_id").join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.col("dropflag").isNull().alias("kept"),
     )
 
 
