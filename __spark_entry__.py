@@ -146,6 +146,7 @@ _CAP_TAIL = (
     "q28_tumbling_window",
     "q30_session_window",
     "d08_quality_score",
+    "d10_fingerprint",
 )
 
 

@@ -347,3 +347,17 @@ def test_semantic_dedup_cluster_equi_join(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "cluster_id" in plan
     assert "EvalPython" not in plan
+
+
+def test_packing_accounting_single_source_shuffle(spark):
+    """d43 (round 6): the packing window and the final agg share the
+    source key — the plan must carry exactly ONE hashpartitioning
+    exchange on source (the groupBy reuses the window's partitioning),
+    one FileScan, no Python."""
+    from text_extraction_spark import dataops
+
+    df = dataops.QUERIES["d43_packing_accounting"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FileScan parquet") == 1
+    assert "EvalPython" not in plan

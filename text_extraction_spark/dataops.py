@@ -3571,3 +3571,65 @@ def d41(spark, sf):
             ),
         )
     )
+
+
+_D43_CHUNK = 256  # context-window budget; small enough that the
+# testdata (~1.4k tokens/source) yields multiple chunks and nonzero
+# straddler counts, so the oracle exercises the boundary math
+
+_D43_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+  FROM documents
+),
+runs AS (
+  SELECT source, doc_id, tok,
+         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(ceil(CAST(sum(tok) AS DOUBLE) / {_D43_CHUNK}) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN (cum - tok) // {_D43_CHUNK} <> (cum - 1) // {_D43_CHUNK}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+FROM runs GROUP BY source
+"""
+
+
+@q("d43_packing_accounting", _D43_SQL)
+def d43(spark, sf):
+    """GPT-style packing accounting: documents concatenate in doc_id
+    order within their source shard and are chunked at a fixed
+    context-window budget; report per source the token total, chunk
+    count, and how many documents straddle a chunk boundary (the docs
+    whose loss masking / attention reset the training stack must
+    handle). The sequential cumsum is per-SOURCE — the way real
+    pipelines pack per shard — so the window partitions by a key that
+    scales with the corpus instead of one global order.
+
+    Shape at 100 TB: one shuffle by source (the window partition), one
+    partial-agg groupBy on the same key — the sort inside each window
+    partition is the per-shard pack order a sequential packer needs
+    anyway. Straddle math is integer division on the running sum; no
+    Python, no second scan."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = toks.withColumn("cum", F.sum("tok").over(w))
+    straddle = (
+        F.expr(f"(cum - tok) DIV {_D43_CHUNK}") != F.expr(f"(cum - 1) DIV {_D43_CHUNK}")
+    ).cast("long")
+    return runs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.ceil(F.sum("tok").cast("double") / _D43_CHUNK).cast("long").alias("n_chunks"),
+        F.sum(straddle).alias("n_straddlers"),
+    )
