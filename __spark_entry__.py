@@ -107,16 +107,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS file records only the FIRST 50 queries()
 # entries; oracle-backed entries are emitted first and rows-only entries
-# (pre-declared ⊘ in SURVEY §2) last. With 68 oracle-backed entries and
-# a 50-entry cap, 18 sit past the cap each round — ROTATED per round
+# (pre-declared ⊘ in SURVEY §2) last. With 74 oracle-backed entries and
+# a 50-entry cap, 24 sit past the cap each round — ROTATED per round
 # (VERDICT r3 #5) so no oracle-backed query's external record goes more
 # than one round stale. Round 5 demoted q18–q23/q36–q38/q40–q43/the
 # d28–d33 goldens/d34; round 6 promotes those eighteen back under the
-# cap and demotes eighteen r5-green entries — a basic-join/window/UDF
-# slice of the relational plane (all still DuckDB-checked locally every
-# session by tools/check_contract.py + pytest; the flagship q04/q08/q10
-# shuffle paths, all extraction x-entries and all dataops d-entries stay
-# under the cap).
+# cap and demotes r5-green entries — a basic-join/window/UDF slice of
+# the relational plane plus, for the six round-6 additions
+# (d38–d43), six more r5-greens (q29/q27/q28/q30/d08/d10) so every
+# new op gets first-time driver verification. Everything demoted is still
+# DuckDB-checked locally every session by tools/check_contract.py +
+# pytest; the flagship q04/q08/q10 shuffle paths and all extraction
+# x-entries stay under the cap.
 _CAP_TAIL = (
     "q01_scan_projection",
     "q02_filter_predicates",
