@@ -149,6 +149,9 @@ _CAP_TAIL = (
     "q30_session_window",
     "d08_quality_score",
     "d10_fingerprint",
+    # round 6 session 2: d44 substring dedup joins the oracle-backed
+    # head — one more r5-green demotion
+    "d18_stratified_sample",
 )
 
 

@@ -968,3 +968,47 @@ def test_d15_auto_switches_to_ivf2(spark, monkeypatch):
     assert calls.get("hit"), "d15 did not take the ivf2 branch"
     assert out.columns == ["q_id", "vec_id", "cosine"]
     assert out.count() > 0
+
+
+def test_d44_substring_dedup_planted(spark, tmp_path):
+    """d44 (round 6): sliding-window exact-substring removal on a crafted
+    corpus — a passage shared across two docs at DIFFERENT word
+    alignments (the case d17/d39's fixed chunking cannot catch), a
+    WITHIN-doc repeat, a sub-window doc, and a unique doc; plus the
+    DuckDB oracle on the same corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_extraction_spark.oracle_check import compare
+
+    P = " ".join(f"p{i}" for i in range(8))  # the shared 8-word passage
+    Q = " ".join(f"q{i}" for i in range(8))  # the internally-repeated one
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    f"a1 a2 {P} a3",          # P at word 3 (offset alignment)
+                    f"{P} b1 b2 b3",          # P at word 1
+                    f"{Q} c1 {Q}",            # within-doc repeat
+                    "short words only",        # < 8 words: no grams
+                    " ".join(f"u{i}" for i in range(12)),  # unique: untouched
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    df = dataops.QUERIES["d44_substring_dedup"](spark, str(tmp_path))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["clean_text"] == "a1 a2 a3" and rows[0]["n_removed"] == 8
+    assert rows[1]["clean_text"] == "b1 b2 b3" and rows[1]["n_removed"] == 8
+    assert rows[2]["clean_text"] == "c1" and rows[2]["n_removed"] == 16
+    assert rows[3]["clean_text"] == "short words only" and rows[3]["n_removed"] == 0
+    assert rows[4]["n_removed"] == 0 and rows[4]["n_words"] == 12
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    r = compare(df, con, dataops._D44_SQL)
+    assert r["count_match"] and r["values_match"], r

@@ -361,3 +361,17 @@ def test_packing_accounting_single_source_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("FileScan parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_substring_dedup_all_jvm_no_broadcast_dup_set(spark):
+    """d44 (round 6): the dup-gram set scales with duplicated CONTENT
+    (not with the benchmark/boilerplate head), so it must NOT be
+    hinted broadcast — the hit join rides the same uniform md5 hash
+    as the frequency agg (AQE may still pick broadcast at tiny SF) —
+    and the whole op stays JVM-side: no Python eval, no cartesian."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops.QUERIES["d44_substring_dedup"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # covered-position removal

@@ -3633,3 +3633,110 @@ def d43(spark, sf):
         F.ceil(F.sum("tok").cast("double") / _D43_CHUNK).cast("long").alias("n_chunks"),
         F.sum(straddle).alias("n_straddlers"),
     )
+
+
+# ------------------------------------------- exact substring dedup (d44)
+
+_D44_N = 8  # words per sliding gram; production uses ~50 BPE tokens
+# (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" removes every substring whose 50-token window occurs more
+# than once in the corpus; the synthetic docs are short, so 8 words)
+
+_D44_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i, md5(array_to_string(w[i:i+{_D44_N - 1}], ' ')) AS h
+  FROM words, UNNEST(range(1, greatest(len(w) - {_D44_N - 1}, 0) + 1)) AS t(i)
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.i + o.off AS widx
+  FROM grams g JOIN dup USING (h), UNNEST(range(0, {_D44_N})) AS o(off)
+),
+wp AS (
+  SELECT doc_id, i AS widx, w[i] AS word
+  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+kept AS (
+  SELECT wp.doc_id, wp.widx, wp.word
+  FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.widx = cov.widx
+  WHERE cov.widx IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@q("d44_substring_dedup", _D44_SQL)
+def d44(spark, sf):
+    """Exact duplicated-substring removal (Lee et al. 2022, the ExactSubstr
+    half of the canonical dedup pair): every sliding word 8-gram whose
+    corpus-wide occurrence count is >= 2 (cross-doc OR a within-doc
+    repeat) marks its 8-word span as duplicated; each doc is rebuilt
+    from the uncovered words in original order. Distinct from d17/d39
+    (fixed disjoint chunks, cross-doc df only) — the sliding window
+    catches duplicated passages at ANY alignment, the property that
+    made suffix-array dedup the production standard.
+
+    Spark-first shape instead of a suffix array: the gram stream
+    carries (doc_id, start) and ONE uniform md5 shuffle finds
+    repeated grams (map-side partial counts); the dup-gram set is
+    proportional to duplicated content, so it is NOT broadcast — the
+    hit join shuffles ids-only on the same uniform hash. Span merge is
+    an explode of 8 positions + distinct on (doc_id, widx) — bounded
+    8x blowup of the HIT set only, not the corpus. Reassembly is d39's
+    sort_array-of-structs groupBy: one shuffle by doc_id. No Python
+    anywhere; every stage is whole-stage-codegen arrays + joins."""
+    d = t(spark, sf, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = words.select(
+        "doc_id",
+        F.posexplode(_word_ngrams(F.col("w"), _D44_N)).alias("pos", "g"),
+    ).select("doc_id", (F.col("pos") + 1).alias("i"), F.md5("g").alias("h"))
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
+    cov = (
+        grams.join(dup.select("h"), "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (_D44_N - 1))).alias("widx"),
+        )
+        .distinct()
+    )
+    wp = words.select("doc_id", F.posexplode("w").alias("pos", "word")).select(
+        "doc_id", (F.col("pos") + 1).alias("widx"), "word"
+    )
+    kept = wp.join(cov, ["doc_id", "widx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_words = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("doc_id", n_words.alias("n_words"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+                "n_removed"
+            ),
+        )
+    )
