@@ -1012,3 +1012,43 @@ def test_d44_substring_dedup_planted(spark, tmp_path):
     )
     r = compare(df, con, dataops._D44_SQL)
     assert r["count_match"] and r["values_match"], r
+
+
+def test_bloom_no_false_negatives_unit():
+    """Every inserted (h1, h2) pair must test positive — Bloom's hard
+    guarantee, the direction decontamination depends on."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    pairs = [(int(a), int(b)) for a, b in
+             rng.integers(-(2**63), 2**63 - 1, (500, 2), dtype=np.int64)]
+    bits, m = dataops._bloom_build(pairs)
+    arr = np.array(pairs, dtype=np.int64)
+    pos = dataops._bloom_positions(arr[:, 0], arr[:, 1], m)
+    hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    assert hit.all(), "false negative in bloom membership"
+
+
+def test_d45_bloom_superset_of_exact_and_fp_bound(spark):
+    """d45 vs d23 on the real testdata: bloom flags must be a SUPERSET
+    of the exact flags per doc (no false negatives), and the extra
+    flagged-gram fraction must stay under 1% of probed train grams
+    (designed ~6e-6 at 32 bits/gram, k=8)."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    ex = {r["doc_id"]: r["n_hits"]
+          for r in dataops.QUERIES["d23_decontaminate"](spark, sf).collect()}
+    bl = {r["doc_id"]: r["n_hits"]
+          for r in dataops.QUERIES["d45_decontaminate_bloom"](spark, sf).collect()}
+    assert set(ex) <= set(bl)
+    assert all(bl[k] >= v for k, v in ex.items())
+    d = dataops.t(spark, sf, "documents").select(
+        F.split("text", " ").alias("w"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0").alias("b"),
+    )
+    probed = (
+        d.filter(~F.col("b"))
+        .select(F.explode(dataops._word_ngrams(F.col("w"), dataops._DECON_N)))
+        .count()
+    )
+    extra = sum(bl[k] - ex.get(k, 0) for k in bl)
+    assert extra / max(probed, 1) <= 0.01, (extra, probed)

@@ -3740,3 +3740,94 @@ def d44(spark, sf):
             ),
         )
     )
+
+
+# --------------------------------------- Bloom decontamination (d45)
+
+_BLOOM_BITS_PER_GRAM = 32  # m = next_pow2(32·n) bits → FP ≈ (1−e^(−k·n/m))^k
+_BLOOM_K = 8  # ≈ 6e-6 at the design point; the pytest pins ≤ 1%
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, m: int) -> np.ndarray:
+    """(k, n) bit positions by Kirsch–Mitzenmacher double hashing:
+    p_i = (h1 + i·h2) mod m with h2 forced ODD so the stride has full
+    period in the power-of-two table. Hashes arrive as xxhash64 int64
+    (possibly negative) — reinterpret as uint64, not abs()."""
+    u1 = h1.astype(np.int64).view(np.uint64)
+    u2 = h2.astype(np.int64).view(np.uint64) | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)[:, None]
+    return ((u1[None, :] + i * u2[None, :]) % np.uint64(m)).astype(np.int64)
+
+
+def _bloom_build(hashes: "list[tuple[int, int]]") -> tuple[np.ndarray, int]:
+    """Byte-array Bloom filter over (h1, h2) pairs of the benchmark gram
+    set. The build side is DRIVER-side and bounded by the d23 premise
+    (benchmarks are MBs); the bits are what gets broadcast — 16
+    bits/gram instead of ~50 string bytes/gram, the ~12x that makes a
+    10^8-gram benchmark suite broadcastable (~400 MB) where the string
+    set is not."""
+    n = max(len(hashes), 1)
+    m = 1 << max(10, int(np.ceil(np.log2(n * _BLOOM_BITS_PER_GRAM))))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if hashes:
+        arr = np.array(hashes, dtype=np.int64)
+        pos = _bloom_positions(arr[:, 0], arr[:, 1], m).ravel()
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits, m
+
+
+@q("d45_decontaminate_bloom")  # rows-only BY DESIGN: Bloom FPs are
+# deterministic but not SQL-expressible; the pytest gate pins the two
+# properties that matter — flags ⊇ d23's exact flags (no false
+# negatives, guaranteed by construction) and FP fraction ≤ 1%
+def d45(spark, sf):
+    """Bloom-filter benchmark decontamination — d23's scale path. d23
+    broadcasts the benchmark gram STRINGS; fine for MB-scale suites,
+    but a 10^8-gram mega-suite is multi-GB of strings. Here the bench
+    side collapses to a bit array (32 bits/gram, built driver-side from
+    one bounded collect of JVM xxhash64 pairs — the IVF-trainer shape)
+    and the train side tests membership map-only: both hashes computed
+    JVM-side (F.xxhash64 twice, independent by an extra lit column),
+    bit probes vectorized numpy over the broadcast array inside ONE
+    pandas UDF — no Python hashing, no per-row loop, no shuffle until
+    the per-doc count agg. False positives (bounded by the pytest at
+    1%, designed at ~6e-4) only ever DROP extra training docs — the
+    safe direction for decontamination; false negatives are impossible.
+    Output schema matches d23 (doc_id, n_hits) so the two are drop-in
+    swaps; n_hits counts distinct FLAGGED grams per doc."""
+    from pyspark.sql.types import BooleanType
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0").alias(
+            "is_bench"
+        ),
+    )
+    grams = d.select(
+        "doc_id", "is_bench", F.explode(_word_ngrams(F.col("w"), _DECON_N)).alias("g")
+    )
+    h1, h2 = F.xxhash64("g"), F.xxhash64("g", F.lit(1))
+    bench = (
+        grams.filter("is_bench")
+        .select(h1.alias("h1"), h2.alias("h2"))
+        .distinct()
+        .collect()
+    )
+    bits, m = _bloom_build([(r["h1"], r["h2"]) for r in bench])
+    bbits = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf(BooleanType())
+    def bloom_hit(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        bt = bbits.value
+        pos = _bloom_positions(h1s.to_numpy(), h2s.to_numpy(), m)
+        ok = (bt[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(ok.all(axis=0))
+
+    return (
+        grams.filter(~F.col("is_bench"))
+        .select("doc_id", "g", h1.alias("h1"), h2.alias("h2"))
+        .filter(bloom_hit("h1", "h2"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
