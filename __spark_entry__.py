@@ -149,9 +149,10 @@ _CAP_TAIL = (
     "q30_session_window",
     "d08_quality_score",
     "d10_fingerprint",
-    # round 6 session 2: d44 substring dedup joins the oracle-backed
-    # head — one more r5-green demotion
+    # round 6 session 2: d44 substring dedup and the d47 PQ golden join
+    # the oracle-backed head — two more r5-green demotions
     "d18_stratified_sample",
+    "d12_embedding_cosine_near_dup",
 )
 
 
@@ -180,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d35_ann_lsh_golden",
             "d36_neardup_verified_golden",
             "d38_bigcluster_dedup_golden",
+            "d47_ann_pq_golden",
         }
     )
     ordered = (
@@ -221,4 +223,7 @@ def oracle_sql() -> dict[str, str]:
     # d38 — the degree-capped d26 verify stage vs DuckDB brute force on
     # the planted 100-member-cluster store (round 6)
     out["d38_bigcluster_dedup_golden"] = dataops.d38_oracle_sql()
+    # d47 — the PQ encode→ADC pipeline vs DuckDB brute force on the
+    # planted PQ-exact store (round 6)
+    out["d47_ann_pq_golden"] = dataops.d47_oracle_sql()
     return out

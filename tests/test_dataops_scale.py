@@ -1052,3 +1052,82 @@ def test_d45_bloom_superset_of_exact_and_fp_bound(spark):
     )
     extra = sum(bl[k] - ex.get(k, 0) for k in bl)
     assert extra / max(probed, 1) <= 0.01, (extra, probed)
+
+
+# -------------------------------------------------- round 6: PQ ANN (d46/d47)
+
+
+def test_pq_ksub_monotone_clamped():
+    """Adaptive codewords-per-subspace: monotone in store size, clamped
+    to [4, 256] (uint8 code space), and pinned at the scales the
+    measured recall floor / planted golden run at."""
+    assert dataops._pq_ksub(0) == 4
+    assert dataops._pq_ksub(300) == 16  # d47 planted-store scale
+    assert dataops._pq_ksub(2000) == 128  # sf0.001 testdata scale
+    assert dataops._pq_ksub(10**9) == 256
+    prev = 0
+    for n in (1, 64, 300, 2000, 10**4, 10**6, 10**9):
+        cur = dataops._pq_ksub(n)
+        assert 4 <= cur <= 256 and cur >= prev
+        prev = cur
+
+
+def test_pq_train_exact_recovery_on_planted_store():
+    """On the d47 store every subvector IS a codeword (coincident
+    clusters), so farthest-point init + Lloyd's must recover each
+    block's codebook EXACTLY (as a set) — the property that makes
+    brute-force SQL a full value oracle for the PQ path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(dataops.pq_store_dir(), "embeddings.parquet")
+    X = np.array(pq.read_table(p).column("embedding").to_pylist())
+    books = dataops._pq_train(X, m=dataops._PQG_M, ksub=dataops._PQG_KSUB)
+    dsub = X.shape[1] // dataops._PQG_M
+    for b in range(dataops._PQG_M):
+        Xb = X[:, b * dsub : (b + 1) * dsub]
+        true = np.unique(np.round(Xb, 12), axis=0)
+        got = np.unique(np.round(books[b], 12), axis=0)
+        assert true.shape == got.shape == (dataops._PQG_KSUB, dsub)
+        assert np.allclose(np.sort(true, axis=0), np.sort(got, axis=0))
+    # encode→reconstruct is lossless on this store
+    enc = dataops._pq_encode_udf(books)
+    codes = np.array(enc.func(pd.Series(list(X))).to_list())
+    recon = np.concatenate(
+        [books[b][codes[:, b]] for b in range(dataops._PQG_M)], axis=1
+    )
+    assert np.allclose(recon, X)
+
+
+def test_pq_store_margins():
+    """d47 fixture pins: deterministic rebuild, every codeword
+    represented in every block (first ksub rows), 300 rows, dim 32."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(dataops.pq_store_dir(), "embeddings.parquet")
+    t1 = pq.read_table(p)
+    assert t1.num_rows == dataops._PQG_N
+    X = np.array(t1.column("embedding").to_pylist())
+    assert X.shape == (dataops._PQG_N, dataops._PQG_M * dataops._PQG_DSUB)
+    # first ksub rows enumerate code j in every block → all codewords used
+    head = X[: dataops._PQG_KSUB]
+    assert len(np.unique(np.round(head, 12), axis=0)) == dataops._PQG_KSUB
+
+
+def test_pq_refined_recall_floor(spark):
+    """d46 (PQ + exact refine, shortlist 32) on the noise-like testdata:
+    mean recall@3 >= 0.70 vs the exact twin (measured 0.78 at sf0.001).
+    Deterministic: seeded store, hash-ranked training sample."""
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in dataops.QUERIES["d46_ann_pq"](spark, SF).collect()
+    }
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in dataops._exact_top3(spark, SF).collect()
+    }
+    assert len(exact) > 0
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.70, recall

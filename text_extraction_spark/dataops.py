@@ -3831,3 +3831,338 @@ def d45(spark, sf):
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_hits"))
     )
+
+
+# --------------------------------- product-quantized ANN (d46 / d47)
+
+_PQ_KSUB_MAX = 256  # uint8 code space — the faiss PQx8 shape
+_PQ_M = 8  # subspaces over the 64-dim store (8 dims each)
+
+
+def _pq_ksub(n_vecs: int) -> int:
+    """Codewords per subspace: 2^round(log2(n/16)) clamped [4, 256] —
+    ~16 training points per codeword at small n (k-means stability),
+    saturating at the uint8 code space. Monotone and deterministic,
+    same design rule as _adaptive_planes/_adaptive_ivf_k."""
+    import math
+
+    if n_vecs <= 64:
+        return 4
+    return int(min(_PQ_KSUB_MAX, max(4, 2 ** round(math.log2(n_vecs / 16)))))
+
+
+def _pq_train(X: np.ndarray, m: int = _PQ_M, ksub: int | None = None) -> np.ndarray:
+    """Per-subspace k-means codebooks (m, ksub, dsub): deterministic
+    farthest-point init (seeded at the point with the lowest sha-free
+    lexicographic hash of its block index — index 0 — then greedy
+    farthest) + Lloyd's to convergence. On a store whose subvectors ARE
+    codewords (the d47 planted store) every cluster is a coincident
+    point set, so init picks distinct codewords and one Lloyd step
+    recovers them EXACTLY — the property the golden oracle leans on."""
+    n, dim = X.shape
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    k = ksub or _pq_ksub(n)
+    books = np.empty((m, k, dsub))
+    for b in range(m):
+        Xb = X[:, b * dsub : (b + 1) * dsub]
+        # farthest-point init, deterministic
+        cent = [Xb[0]]
+        d2 = ((Xb - cent[0]) ** 2).sum(1)
+        for _ in range(1, k):
+            cent.append(Xb[int(np.argmax(d2))])
+            d2 = np.minimum(d2, ((Xb - cent[-1]) ** 2).sum(1))
+        C = np.array(cent)
+        for _ in range(25):
+            a = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+            newC = np.array(
+                [Xb[a == j].mean(0) if (a == j).any() else C[j] for j in range(k)]
+            )
+            if np.allclose(newC, C):
+                break
+            C = newC
+        books[b] = C
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """codes = per-block argmin-L2 codeword index, fully vectorized per
+    Arrow batch: ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 and ||x||^2 is
+    rank-constant, so argmin(-2 x.c + ||c||^2) — one (B, ksub) matmul
+    per block, no pairwise distance tensor."""
+    m, k, dsub = books.shape
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def enc(embs: pd.Series) -> pd.Series:
+        X = np.array(embs.to_list(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((X.shape[0], m), dtype=np.int64)
+        for b in range(m):
+            Xb = X[:, b * dsub : (b + 1) * dsub]
+            Cb = books[b]
+            scores = -2.0 * (Xb @ Cb.T) + (Cb**2).sum(1)[None, :]
+            codes[:, b] = scores.argmin(1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_topk(emb, queries: np.ndarray, q_ids: list, books: np.ndarray, k: int = 3):
+    """Asymmetric-distance (ADC) top-k over PQ codes: encode the store
+    ONCE (map-only pandas UDF, 8 bytes/vector — the 32x compression
+    that keeps a 10^11-vector store in cluster RAM), build per-query
+    dot-product lookup tables DRIVER-side (Q x m x ksub doubles,
+    broadcast), and score each row with m table gathers + a sum —
+    no per-row float dot products against raw vectors. Approx norm
+    comes from the codeword norms (exact when reconstruction is exact,
+    i.e. on the d47 planted store). One shuffle total: the per-query
+    top-k window on (rounded cosine desc, vec_id)."""
+    from pyspark.sql.types import ArrayType as AT
+    from pyspark.sql.types import DoubleType
+
+    m, ksub, dsub = books.shape
+    Q = np.asarray(queries, dtype=np.float64)  # (q, dim)
+    qn = np.sqrt((Q**2).sum(1))
+    # T[q, b, c] = dot(query_q block b, codeword c); norms2[b, c] = ||c||^2
+    T = np.einsum("qbd,bcd->qbc", Q.reshape(len(Q), m, dsub), books)
+    norms2 = (books**2).sum(2)
+    spark = emb.sparkSession
+    bT, bN = spark.sparkContext.broadcast(T), spark.sparkContext.broadcast(norms2)
+
+    coded = emb.select("vec_id", _pq_encode_udf(books)("embedding").alias("codes"))
+
+    @F.pandas_udf(AT(DoubleType()))
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.array(codes.to_list(), dtype=np.int64)  # (B, m)
+        if C.size == 0:
+            return pd.Series([], dtype=object)
+        t, n2 = bT.value, bN.value
+        dots = t[:, np.arange(m)[None, :], C].sum(2)  # (q, B)
+        vnorm = np.sqrt(n2[np.arange(m)[None, :], C].sum(1))  # (B,)
+        cos = dots / (qn[:, None] * vnorm[None, :])
+        return pd.Series(list(np.round(cos.T, 4)))
+
+    q_id_arr = F.array(*[F.lit(int(i)) for i in q_ids])
+    scored = (
+        coded.withColumn("cos", adc("codes"))
+        .select("vec_id", F.posexplode("cos").alias("qi", "cosine"))
+        .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+_PQ_TRAIN_CAP = 2048  # bounded driver-side training sample (faiss shape)
+_pq_cache: dict = {}
+
+
+def _pq_books(spark, sf, n: int, dim: int) -> np.ndarray:
+    """Codebooks from the max(_PQ_TRAIN_CAP, 32·ksub) lowest-
+    xxhash64(vec_id) rows — the _ivf_centroids sampling rule verbatim
+    (uniform-hash TakeOrdered, uncorrelated with id assignment)."""
+    ksub = _pq_ksub(n)
+    cap = max(_PQ_TRAIN_CAP, 32 * ksub)
+    key = (sf, dim, ksub, cap)
+    if key in _pq_cache:
+        return _pq_cache[key]
+    e = t(spark, sf, "embeddings").filter(F.size("embedding") == dim)
+    rows = (
+        e.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(cap)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    _pq_cache[key] = _pq_train(X, m=_PQ_M, ksub=ksub)
+    return _pq_cache[key]
+
+
+@q("d46_ann_pq")  # ⊘ rows-only BY DESIGN (approximate — quantization
+# error is real on a non-planted store); recall@3 vs the exact twin is
+# pinned by pytest, and d47 value-verifies the identical code path on a
+# store where PQ reconstruction is exact
+def d46(spark, sf):
+    """Product-quantization ANN (the faiss IVF-PQ compression half):
+    8-byte codes instead of 256-byte raw vectors — the 32x that keeps a
+    10^11-vector store's index in cluster RAM where raw vectors cannot.
+    Codebooks train driver-side on a bounded uniform-hash sample;
+    encoding is ONE map-only Arrow pass; queries score by ADC table
+    gathers (no raw-vector dot products). Complementary to d06/d15:
+    LSH/IVF prune CANDIDATES, PQ shrinks the per-candidate cost — a
+    production system composes them; here PQ runs as a full compressed
+    scan so its recall is measured in isolation."""
+    e = t(spark, sf, "embeddings")
+    n, dim, dropped = emb_stats(e)
+    if dropped:
+        e = e.filter(F.size("embedding") == dim)
+    books = _pq_books(spark, sf, n, dim)
+    qrows = (
+        e.filter(F.col("vec_id") < _RECALL_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return pq_refined_topk(e, Q, [r["vec_id"] for r in qrows], books)
+
+
+# ---- d47: the planted store where PQ is EXACT (full value oracle)
+
+_PQG_M = 4
+_PQG_DSUB = 8  # dim = 32
+_PQG_KSUB = 8
+_PQG_N = 300
+_PQG_QUERIES = 30
+_PQG_VERSION = "v1"
+
+
+def pq_store_dir() -> str:
+    """Deterministic PQ-exact embedding store: every vector is EXACTLY
+    the concatenation of one codeword per subspace, so (a) farthest-
+    point k-means recovers the codebooks exactly (coincident clusters:
+    init must pick one point per distinct location, Lloyd's converges
+    in one step), and (b) ADC cosine == exact cosine — brute-force SQL
+    is a full value oracle for the whole PQ path. First ksub vectors
+    use code j in every block so all codewords are represented."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conf import cache_root
+
+    d = os.path.join(cache_root(), f"pq_store_{_PQG_VERSION}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        rng = np.random.Generator(np.random.PCG64(29))
+        books = rng.standard_normal((_PQG_M, _PQG_KSUB, _PQG_DSUB))
+        codes = np.vstack(
+            [
+                np.tile(np.arange(_PQG_KSUB)[:, None], (1, _PQG_M)),
+                rng.integers(0, _PQG_KSUB, (_PQG_N - _PQG_KSUB, _PQG_M)),
+            ]
+        )
+        vecs = np.concatenate(
+            [books[b][codes[:, b]] for b in range(_PQG_M)], axis=1
+        )
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(_PQG_N), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+        if os.path.isdir(d) and not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix=".pq_store_build_", dir=cache_root())
+        pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"), row_group_size=64)
+        open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def d47_oracle_sql() -> str:
+    """Lazy (embeds the fixture path): brute-force cosine per query,
+    round 4dp, rank by (cosine desc, vec_id), top-3."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum')) AS nrm
+  FROM read_parquet('{pq_store_dir()}/embeddings.parquet')
+), sims AS (
+  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+         round(list_aggregate(list_transform(q.embedding,
+                   (x, i) -> x * b.embedding[i]), 'sum') / q.nrm / b.nrm, 4) AS cosine
+  FROM v q JOIN v b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < {_PQG_QUERIES}
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT q_id, vec_id, cosine FROM ranked WHERE rn <= 3
+"""
+
+
+@q("d47_ann_pq_golden")  # oracle registered lazily (embeds store path)
+def d47(spark, sf):
+    """d46's PQ pipeline under a FULL value oracle: the exact
+    _pq_train → encode → ADC-top-3 code over the planted PQ-exact
+    store, where DuckDB brute-forces the same per-query top-3 with
+    identical rounding/tie rules. sf_dir is ignored (own fixture, the
+    d29/d35 precedent)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(pq_store_dir(), "embeddings.parquet")
+    X = np.array(pq.read_table(p).column("embedding").to_pylist())
+    books = _pq_train(X, m=_PQG_M, ksub=_PQG_KSUB)
+    return pq_topk(
+        spark.read.parquet(p),
+        X[:_PQG_QUERIES],
+        list(range(_PQG_QUERIES)),
+        books,
+    )
+
+
+_PQ_SHORTLIST = 32  # ADC shortlist size fed to the exact refine stage
+
+
+def pq_refined_topk(
+    e, queries: np.ndarray, q_ids: list, books: np.ndarray, k: int = 3,
+    shortlist: int = _PQ_SHORTLIST,
+):
+    """PQ shortlist + exact refine (the faiss `refine` stage): ADC over
+    8-byte codes picks `shortlist` candidates per query, then ONLY those
+    rows' raw vectors are re-ranked by exact cosine. Per query the
+    refine touches `shortlist` vectors regardless of store size — the
+    raw store is read once for the encode pass and once for the
+    shortlist join-back (ids-only shuffle, then an equi-join that AQE
+    sizes); the compressed scan does the heavy lifting. On noise-like
+    stores this recovers most of the recall PQ alone loses, which is
+    why production systems never serve raw-ADC rankings."""
+    short = pq_topk(e, queries, q_ids, books, k=shortlist).select("q_id", "vec_id")
+    qdf = e.sparkSession.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(q_ids, queries)],
+        "q_id long, qe array<double>",
+    )
+    j = (
+        short.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "q_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sims = j.select(
+        "q_id", "vec_id",
+        F.round(dot / norm(F.col("embedding")) / norm(F.col("qe")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine")
+    )
