@@ -71,6 +71,9 @@ HEADLINE = [
     "d39_boilerplate_removal",  # round 6: broadcast anti-join + reassembly
     "d40_cluster_assign",  # round 6: map-only k-means E-step
     "d41_dsir_importance",  # round 6: single-scan importance scoring
+    "d44_substring_dedup",  # round 6: sliding 8-gram exact dedup
+    "d45_decontaminate_bloom",  # round 6: bloom decontamination
+    "d46_ann_pq",  # round 6: PQ ADC + exact refine (BLAS-trained books)
     "x01_main_content_extraction",
     "x08_pdf_text_extraction",
 ]

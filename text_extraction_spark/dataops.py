@@ -3865,7 +3865,8 @@ def _pq_train(X: np.ndarray, m: int = _PQ_M, ksub: int | None = None) -> np.ndar
     k = ksub or _pq_ksub(n)
     books = np.empty((m, k, dsub))
     for b in range(m):
-        Xb = X[:, b * dsub : (b + 1) * dsub]
+        Xb = np.ascontiguousarray(X[:, b * dsub : (b + 1) * dsub])
+        xb_sq = (Xb**2).sum(1)
         # farthest-point init, deterministic
         cent = [Xb[0]]
         d2 = ((Xb - cent[0]) ** 2).sum(1)
@@ -3874,9 +3875,17 @@ def _pq_train(X: np.ndarray, m: int = _PQ_M, ksub: int | None = None) -> np.ndar
             d2 = np.minimum(d2, ((Xb - cent[-1]) ** 2).sum(1))
         C = np.array(cent)
         for _ in range(25):
-            a = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
-            newC = np.array(
-                [Xb[a == j].mean(0) if (a == j).any() else C[j] for j in range(k)]
+            # argmin ||x-c||^2 = argmin(-2 x.c + ||c||^2): one BLAS
+            # matmul, never the (n, k, dsub) difference tensor (which
+            # made training at ksub=256 the whole d46 wall clock)
+            a = (-2.0 * (Xb @ C.T) + (C**2).sum(1)[None, :]).argmin(1)
+            counts = np.bincount(a, minlength=k).astype(np.float64)
+            sums = np.column_stack(
+                [np.bincount(a, weights=Xb[:, j], minlength=k) for j in range(dsub)]
+            )
+            empty = counts == 0
+            newC = np.where(
+                empty[:, None], C, sums / np.maximum(counts, 1.0)[:, None]
             )
             if np.allclose(newC, C):
                 break
