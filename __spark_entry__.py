@@ -153,6 +153,9 @@ _CAP_TAIL = (
     # the oracle-backed head — two more r5-green demotions
     "d18_stratified_sample",
     "d12_embedding_cosine_near_dup",
+    # round 6 session 2: the d50 IVFPQ golden joins the oracle-backed
+    # head — one more r5-green demotion
+    "d24_repetition_filter",
 )
 
 
@@ -182,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d36_neardup_verified_golden",
             "d38_bigcluster_dedup_golden",
             "d47_ann_pq_golden",
+            "d50_ann_ivfpq_golden",
         }
     )
     ordered = (
@@ -226,4 +230,7 @@ def oracle_sql() -> dict[str, str]:
     # d47 — the PQ encode→ADC pipeline vs DuckDB brute force on the
     # planted PQ-exact store (round 6)
     out["d47_ann_pq_golden"] = dataops.d47_oracle_sql()
+    # d50 — the composed IVFPQ pipeline vs the SAME brute-force oracle
+    # as d29 (probe coverage + shortlist margin make refine exact)
+    out["d50_ann_ivfpq_golden"] = dataops.d29_oracle_sql()
     return out

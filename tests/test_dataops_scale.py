@@ -1131,3 +1131,78 @@ def test_pq_refined_recall_floor(spark):
     assert len(exact) > 0
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.70, recall
+
+
+# ------------------------------------- round 6: BPE training + IVFPQ (d48-d50)
+
+
+def test_bpe_merge_loop_hand_computed():
+    """Classic BPE on a hand-checkable table: 'low'x5 + 'lower'x2 +
+    'newest'x6. Weighted pair counts are computed by hand; ties break
+    on the lexicographically smallest pair."""
+    merges = dataops._bpe_merges_from_counts(
+        [("low", 5), ("lower", 2), ("newest", 6)], n_merges=4
+    )
+    # round 1 pair counts: 'newest'(6) = n-e-w-e-s-t-</w> gives
+    # (n,e)=(e,w)=(w,e)=(e,s)=(s,t)=(t,</w>)=6; 'low'(5) gives
+    # (l,o)=(o,w)=(w,</w>)=5; 'lower'(2) gives (l,o)=(o,w)=(w,e)=
+    # (e,r)=(r,</w>)=2 → (w,e)=6+2=8 is the unique max
+    assert merges[0] == (0, "w", "e", "we", 8)
+    # round 2: (l,o)=5+2=7 is the unique max (every 'newest' pair is 6)
+    assert merges[1] == (1, "l", "o", "lo", 7)
+    # round 3: max is 6, shared by 'newest' = n-e-we-s-t-</w> pairs;
+    # lexicographic min among {(n,e),(e,we),(s,t),(t,</w>),(we,s)}
+    # is ('e','we')
+    assert merges[2] == (2, "e", "we", "ewe", 6)
+    assert merges[3] == (3, "ewe", "s", "ewes", 6)
+    # determinism
+    assert merges == dataops._bpe_merges_from_counts(
+        [("low", 5), ("lower", 2), ("newest", 6)], n_merges=4
+    )
+
+
+def test_d48_first_merge_matches_duckdb_pair_count(spark):
+    """The first learned merge must be the corpus's most frequent
+    adjacent symbol pair — cross-checked against an independent DuckDB
+    aggregation over the same word counts (lexicographic min on ties)."""
+    import duckdb
+
+    rows = dataops.QUERIES["d48_bpe_train"](spark, SF).collect()
+    assert len(rows) == dataops._BPE_MERGES
+    assert [r["rank"] for r in rows] == list(range(dataops._BPE_MERGES))
+    first = rows[0]
+    exp = duckdb.connect().execute(
+        f"""
+        WITH wc AS (
+          SELECT word, count(*) AS c FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM read_parquet('{SF}/documents.parquet')
+          ) WHERE word <> '' GROUP BY word
+        ), sym AS (
+          SELECT list_append(string_split(word, ''), '</w>') AS s, c FROM wc
+        ), pairs AS (
+          SELECT s[i] AS l, s[i+1] AS r, sum(c) AS pc
+          FROM sym, unnest(generate_series(1, len(s) - 1)) AS t(i)
+          GROUP BY 1, 2
+        )
+        SELECT l, r, pc FROM pairs ORDER BY pc DESC, l, r LIMIT 1
+        """
+    ).fetchone()
+    assert (first["left"], first["right"]) == (exp[0], exp[1]), (first, exp)
+    assert first["pair_count"] == exp[2]
+
+
+def test_d49_ivfpq_recall_floor(spark):
+    """The composed IVF+PQ path (probe pruning AND 8-byte codes) on the
+    noise-like store: recall@3 >= 0.65 (measured 0.687 at sf0.001 —
+    ~= IVF probe recall x PQ shortlist recall, as expected for the
+    composition). Deterministic: seeded centroids + codebooks."""
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in dataops.QUERIES["d49_ann_ivfpq"](spark, SF).collect()
+    }
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in dataops._exact_top3(spark, SF).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.65, recall

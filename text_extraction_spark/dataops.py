@@ -4175,3 +4175,229 @@ def pq_refined_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine")
     )
+
+
+# ------------------------------------------ IVF-PQ composition (d49 / d50)
+
+
+def ivfpq_topk(
+    e,
+    C: np.ndarray,
+    books: np.ndarray,
+    queries: np.ndarray,
+    q_ids: list,
+    k: int = 3,
+    shortlist: int = _PQ_SHORTLIST,
+    nprobe: int = _IVF_NPROBE,
+):
+    """The faiss IVFPQ shape — BOTH halves of production ANN composed:
+    IVF prunes CANDIDATES (each query touches nprobe cells, ~occupancy
+    rows each, never the whole store) and PQ shrinks PER-CANDIDATE cost
+    (ADC over 8-byte codes — no raw-vector reads inside the probe join).
+    An exact-cosine refine over the `shortlist` survivors restores
+    ranking fidelity; only those rows' raw embeddings are ever joined
+    back. Shuffle budget: the coded store is (cell, vec_id, codes) —
+    ids + m bytes per row, the ids-only-shuffle rule — and the probe
+    fan-out is a BROADCAST of (q_id, cell) pairs, so the store crosses
+    exactly one Exchange (by cell) regardless of query count.
+
+    Exactness seam for d50: probe cells are computed driver-side from
+    the same centroids the store is assigned with, so when probing
+    covers every true neighbor's home cell (the planted store) and the
+    true top-k ADC-rank inside the shortlist, the refined output is
+    bit-equal to brute force."""
+    m, ksub, dsub = books.shape
+    Q = np.asarray(queries, dtype=np.float64)
+    qn = np.sqrt((Q**2).sum(1))
+    Qn = Q / np.maximum(qn, 1e-30)[:, None]
+    # driver-side probe assignment (queries are already a bounded
+    # driver-side set — the d46/_pq_books shape)
+    Cn = C / np.maximum(np.sqrt((C**2).sum(1)), 1e-30)[:, None]
+    probe = np.argsort(-(Qn @ Cn.T), axis=1)[:, : min(nprobe, C.shape[0])]
+    spark = e.sparkSession
+    probe_rows = [
+        (int(q_ids[qi]), int(qi), int(c))
+        for qi in range(len(q_ids))
+        for c in probe[qi]
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "q_id long, qi int, cell long")
+
+    T = np.einsum("qbd,bcd->qbc", Q.reshape(len(Q), m, dsub), books)
+    norms2 = (books**2).sum(2)
+    bT = spark.sparkContext.broadcast(T)
+    bN = spark.sparkContext.broadcast(norms2)
+
+    home = _ivf_cells_udf(C, 1)
+    coded = (
+        e.select(
+            "vec_id",
+            F.explode(home("embedding")).alias("cell"),
+            _pq_encode_udf(books)("embedding").alias("codes"),
+        )
+        .filter(F.col("cell") >= 0)
+    )
+
+    @F.pandas_udf("double")
+    def adc(qis: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=float)
+        Cd = np.array(codes.to_list(), dtype=np.int64)  # (B, m)
+        qv = qis.to_numpy(dtype=np.int64)
+        t_, n2 = bT.value, bN.value
+        blocks = np.arange(m)[None, :]
+        dots = t_[qv[:, None], blocks, Cd].sum(1)
+        vnorm = np.sqrt(n2[blocks, Cd].sum(1))
+        return pd.Series(dots / (qn[qv] * np.maximum(vnorm, 1e-30)))
+
+    j = (
+        coded.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qi", "vec_id", "codes")
+    )
+    scored = j.select("q_id", "vec_id", adc("qi", "codes").alias("adc"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("q_id", "vec_id")
+    )
+    # exact refine: only shortlist rows' raw vectors are read back
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(q_ids, Q)],
+        "q_id long, qe array<double>",
+    )
+    jr = short.join(e.select("vec_id", "embedding"), "vec_id").join(
+        F.broadcast(qdf), "q_id"
+    )
+    sims = jr.select(
+        "q_id", "vec_id",
+        F.round(_cosine(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+@q("d49_ann_ivfpq")  # ⊘ rows-only BY DESIGN (doubly approximate: IVF
+# probe misses + PQ quantization error; recall floor pinned by pytest,
+# d50 value-verifies the identical code path on the planted store)
+def d49(spark, sf):
+    """IVFPQ over the testdata store: IVF centroids and PQ codebooks
+    both train on the shared bounded hash-ranked sample; candidates =
+    probed-cell equi join over 8-byte codes; shortlist 32 → exact
+    refine. The composition a 10^11-vector deployment actually runs:
+    d06/d15 prune candidates OR d46 compresses — this op does both."""
+    e = t(spark, sf, "embeddings")
+    n, dim, dropped = emb_stats(e)
+    if dropped:
+        e = e.filter(F.size("embedding") == dim)
+    C = _ivf_centroids(spark, sf, n=n)
+    books = _pq_books(spark, sf, n, dim)
+    qrows = (
+        e.filter(F.col("vec_id") < _RECALL_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return ivfpq_topk(e, C, books, Q, [r["vec_id"] for r in qrows])
+
+
+@q("d50_ann_ivfpq_golden")  # oracle registered lazily (shares d29's store + SQL)
+def d50(spark, sf):
+    """d49's IVFPQ pipeline under the d29 FULL value oracle: the exact
+    ivfpq_topk code over the planted 20-cluster store. Probe coverage
+    of every true neighbor's home cell holds by construction (d29), and
+    the shortlist-covers-top-3 margin is pinned in pytest (ADC distance
+    between intra-cluster cos ~0.99 and inter <0.8 dwarfs quantization
+    error), so the exact-refine output reproduces brute force. sf_dir
+    ignored (own fixture)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(ivf_store_dir(), "embeddings.parquet")
+    X = np.array(pq.read_table(p).column("embedding").to_pylist())
+    C = _spherical_kmeans(X)
+    books = _pq_train(X, m=_PQG_M, ksub=_PQG_KSUB)
+    # every vector is a query — the d29 oracle's own convention
+    return ivfpq_topk(
+        spark.read.parquet(p), C, books, X, list(range(len(X)))
+    )
+
+
+# ------------------------------------------------ BPE tokenizer training (d48)
+
+_BPE_MERGES = 40
+_BPE_VOCAB_CAP = 50_000
+
+
+def _bpe_merges_from_counts(word_counts, n_merges: int = _BPE_MERGES):
+    """Classic BPE merge loop (Sennrich et al. 2016, ACL — public
+    algorithm) over a word-frequency table: repeatedly merge the
+    most-frequent adjacent symbol pair, weighted by word count.
+    Deterministic: ties break on the lexicographically smallest
+    (left, right) pair. Driver-side by design — this is the
+    HuggingFace/SentencePiece production shape, where the corpus-scale
+    work is the word COUNT and the merge loop runs on the bounded
+    frequency table (≤ _BPE_VOCAB_CAP rows)."""
+    from collections import Counter
+
+    vocab = {tuple(w) + ("</w>",): int(c) for w, c in word_counts if w}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        maxc = max(pairs.values())
+        left, right = min(p for p, c in pairs.items() if c == maxc)
+        merged = left + right
+        merges.append((rank, left, right, merged, int(maxc)))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+@q("d48_bpe_train")  # ⊘ rows-only BY DESIGN (the merge loop is
+# iterative-stateful, not SQL-expressible; hand-computed golden merges +
+# determinism pinned in pytest, and the first merge is cross-checked
+# against a DuckDB pair-count query there)
+def d48(spark, sf):
+    """Distributed BPE tokenizer training: ONE corpus-scale word-count
+    aggregation (explode + groupBy, map-side combine — the identical
+    shape as d07/d31), truncated to the top _BPE_VOCAB_CAP words by
+    (count desc, word) — a TakeOrdered, never a full vocab sort — then
+    the classic merge loop on the bounded driver-side table. At 100 TB
+    the corpus pass dominates and parallelizes perfectly; the driver
+    holds ≤ 50k (word, count) rows regardless of corpus size. Returns
+    the learned merge table (rank, left, right, merged, pair_count)."""
+    d = t(spark, sf, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+        .orderBy(F.col("count").desc(), "word")
+        .limit(_BPE_VOCAB_CAP)
+        .collect()
+    )
+    merges = _bpe_merges_from_counts([(r["word"], r["count"]) for r in wc])
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
