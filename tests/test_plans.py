@@ -375,3 +375,44 @@ def test_substring_dedup_all_jvm_no_broadcast_dup_set(spark):
     assert "EvalPython" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "LeftAnti" in plan  # covered-position removal
+
+
+def test_pq_paths_ids_only_shuffles(spark):
+    """d46/d49 (round 6): the PQ store crosses the plan as (vec_id,
+    cell, 8-byte codes) — every shuffle Exchange must exclude the raw
+    embedding column (the d06 ids-only rule applied to the compressed
+    paths), and candidate generation must never degrade to a nested
+    loop. The only allowed raw-vector access is the scan feeding the
+    map-only encode stage and the bounded refine join-back."""
+    import contextlib
+    import io
+    import re
+
+    from text_extraction_spark import dataops
+
+    for name in ("d46_ann_pq", "d49_ann_ivfpq"):
+        df = dataops.QUERIES[name](spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        blocks = re.findall(
+            r"\(\d+\) Exchange[\s\S]*?(?=\n\(\d+\)|\Z)", plan
+        )
+        for b in blocks:  # shuffle Exchanges only (not BroadcastExchange)
+            assert "embedding" not in b.lower(), (name, b)
+
+
+def test_bpe_wordcount_takeordered_single_scan(spark):
+    """d48 (round 6): the corpus-scale half of BPE training must be ONE
+    documents scan into a partial-agg groupBy, with the top-50k
+    truncation planned as TakeOrderedAndProject — a full vocab Sort at
+    100 TB would be the bottleneck (the d32 rule)."""
+    from text_extraction_spark import dataops
+
+    plan = _plan(dataops._bpe_word_counts(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+    assert plan.count("Scan parquet") == 1

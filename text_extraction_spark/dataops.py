@@ -4374,6 +4374,22 @@ def _bpe_merges_from_counts(word_counts, n_merges: int = _BPE_MERGES):
     return merges
 
 
+def _bpe_word_counts(spark, sf):
+    """The corpus-scale half of BPE training: one explode + partial-agg
+    groupBy, truncated to the top _BPE_VOCAB_CAP words by (count desc,
+    word) — plan-pinned as TakeOrderedAndProject, never a full vocab
+    sort (the d32 rule)."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+        .orderBy(F.col("count").desc(), "word")
+        .limit(_BPE_VOCAB_CAP)
+    )
+
+
 @q("d48_bpe_train")  # ⊘ rows-only BY DESIGN (the merge loop is
 # iterative-stateful, not SQL-expressible; hand-computed golden merges +
 # determinism pinned in pytest, and the first merge is cross-checked
@@ -4387,16 +4403,7 @@ def d48(spark, sf):
     the corpus pass dominates and parallelizes perfectly; the driver
     holds ≤ 50k (word, count) rows regardless of corpus size. Returns
     the learned merge table (rank, left, right, merged, pair_count)."""
-    d = t(spark, sf, "documents")
-    wc = (
-        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .count()
-        .orderBy(F.col("count").desc(), "word")
-        .limit(_BPE_VOCAB_CAP)
-        .collect()
-    )
+    wc = _bpe_word_counts(spark, sf).collect()
     merges = _bpe_merges_from_counts([(r["word"], r["count"]) for r in wc])
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
