@@ -156,6 +156,8 @@ _CAP_TAIL = (
     # round 6 session 2: the d50 IVFPQ golden joins the oracle-backed
     # head — one more r5-green demotion
     "d24_repetition_filter",
+    # round 6 session 2: d51 global shuffle joins the head — one more
+    "d23_decontaminate",
 )
 
 

@@ -1206,3 +1206,21 @@ def test_d49_ivfpq_recall_floor(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.65, recall
+
+
+def test_d51_shuffle_balanced_and_deterministic(spark):
+    """d51: content-addressed placement — shards near-uniform (md5
+    bytes), positions dense 0..n_s-1 within each shard, and the whole
+    assignment identical across runs (it is a pure function of
+    doc_id)."""
+    rows = dataops.QUERIES["d51_global_shuffle"](spark, SF).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert len(by_shard) == dataops._SHUF_SHARDS
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * min(sizes)  # md5 uniformity at 500 docs
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    again = dataops.QUERIES["d51_global_shuffle"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

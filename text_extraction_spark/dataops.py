@@ -4408,3 +4408,49 @@ def d48(spark, sf):
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+# ------------------------------------------ global training shuffle (d51)
+
+_SHUF_SHARDS = 16
+
+_D51_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+              % {_SHUF_SHARDS} AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || '#pos') AS pos_key
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY pos_key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+@q("d51_global_shuffle", _D51_SQL)
+def d51(spark, sf):
+    """Deterministic global training shuffle: assign every document a
+    content-addressed shard (first md5 byte mod _SHUF_SHARDS) and a
+    reproducible position within its shard (rank of an independent md5
+    key) — the 'break source locality before training' step. Unlike
+    DataFrame.orderBy(rand()), the placement is a pure function of
+    doc_id: identical on every run, every engine, any cluster size —
+    which is what makes training-data lineage auditable. One shuffle
+    (by shard); the intra-shard sort is the per-reducer sort Spark does
+    anyway for a window, and shard count scales with the cluster (a
+    production run uses O(corpus/shard_size) shards, so per-reducer
+    work is bounded). md5 is the Spark==DuckDB hash (the d18 rule), so
+    the oracle value-checks the exact placement, not just counts."""
+    d = t(spark, sf, "documents")
+    h = d.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+         .cast("long") % _SHUF_SHARDS).cast("int").alias("shard"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#pos"))).alias("pos_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    return h.select(
+        "doc_id", "shard", (F.row_number().over(w) - 1).cast("long").alias("pos")
+    )
