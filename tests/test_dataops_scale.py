@@ -1224,3 +1224,32 @@ def test_d51_shuffle_balanced_and_deterministic(spark):
         assert sorted(poss) == list(range(len(poss)))
     again = dataops.QUERIES["d51_global_shuffle"](spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_d52_matches_numpy_twin_and_learns(spark):
+    """d52: the distributed full-batch GD must agree with an exact numpy
+    twin running the same iterations on the same features (tolerance
+    covers partial-sum order only), and the trained classifier must
+    actually separate en from non-en (stopword feature)."""
+    feat = dataops._d52_features(dataops.t(spark, SF, "documents"))
+    rows = feat.collect()
+    X = np.array([[r["x0"], r["x1"], r["x2"], r["x3"]] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    # the same z-scoring logistic_train applies (bias column untouched)
+    X[:, 1:] = (X[:, 1:] - X[:, 1:].mean(0)) / np.maximum(X[:, 1:].std(0), 1e-12)
+    w = np.zeros(4)
+    for _ in range(dataops._D52_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - dataops._D52_LR * ((p - y) @ X) / len(y)
+    got = {r["param"]: r["value"]
+           for r in dataops.QUERIES["d52_quality_classifier_train"](spark, SF).collect()}
+    for i in range(4):
+        assert abs(got[f"w{i}"] - w[i]) < 1e-4, (i, got, w)
+    acc = ((X @ w > 0).astype(float) == y).mean()
+    assert abs(got["train_acc"] - acc) < 1e-9
+    # learned: accuracy above the 0.892 majority class AND loss well
+    # below the ln(2) = 0.693 all-zero-weights start
+    assert got["train_acc"] >= 0.9, got
+    assert got["final_loss"] < 0.3, got
+    # the doc-length feature drives the rule → positive weight
+    assert got["w1"] > 0
