@@ -158,6 +158,15 @@ _CAP_TAIL = (
     "d24_repetition_filter",
     # round 6 session 2: d51 global shuffle joins the head — one more
     "d23_decontaminate",
+    # round 6 session 3: the incremental-curation batch (d53 chunking,
+    # d54/d56 incremental dedup, d55 classifier apply, d57 token-budget
+    # sample) joins the oracle-backed head — five more r5-green
+    # demotions keep the prefix at exactly 50
+    "d01_dedup_exact",
+    "d04_ngram_jaccard",
+    "d05_ann_cosine_bruteforce",
+    "d07_token_count",
+    "d27_tfidf_topk",
 )
 
 
@@ -188,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d38_bigcluster_dedup_golden",
             "d47_ann_pq_golden",
             "d50_ann_ivfpq_golden",
+            "d56_incremental_neardup_golden",
         }
     )
     ordered = (
@@ -235,4 +245,8 @@ def oracle_sql() -> dict[str, str]:
     # d50 — the composed IVFPQ pipeline vs the SAME brute-force oracle
     # as d29 (probe coverage + shortlist margin make refine exact)
     out["d50_ann_ivfpq_golden"] = dataops.d29_oracle_sql()
+    # d56 — incremental near-dup (batch vs MinHash index) vs DuckDB
+    # brute-force all-pairs Jaccard + the same keep rule, over the d30
+    # planted store where candidate recall is 1.0 by construction
+    out["d56_incremental_neardup_golden"] = dataops.d56_oracle_sql()
     return out

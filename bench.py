@@ -74,6 +74,9 @@ HEADLINE = [
     "d44_substring_dedup",  # round 6: sliding 8-gram exact dedup
     "d45_decontaminate_bloom",  # round 6: bloom decontamination
     "d46_ann_pq",  # round 6: PQ ADC + exact refine (BLAS-trained books)
+    "d53_chunk_sliding",  # round 6: narrow chunk-explode (0 shuffles)
+    "d55_quality_classifier_apply",  # round 6: frozen-model gate (0 shuffles)
+    "d57_token_budget_sample",  # round 6: two-stage distributed prefix sum
     "x01_main_content_extraction",
     "x08_pdf_text_extraction",
 ]

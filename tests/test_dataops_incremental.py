@@ -1,0 +1,122 @@
+"""Round-6 session-3 ops: sliding-window chunking (d53), incremental
+exact dedup (d54), frozen-classifier gating (d55), incremental near-dup
+(d56), token-budget prefix sampling (d57).
+
+Value equality vs DuckDB is covered by the auto-parametrized oracle
+sweep (test_relational_oracle); these tests pin the SEMANTIC properties
+the oracle hash can't express: chunk reconstruction, keep-set
+disjointness, classifier fidelity to its training rule, and the exact
+prefix property of the budget sample.
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from text_extraction_spark import dataops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_d53_chunks_are_exact_windows(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(40)
+        .collect()
+    }
+    rows = (
+        dataops.QUERIES["d53_chunk_sliding"](spark, SF)
+        .filter(F.col("doc_id").isin(list(docs)))
+        .collect()
+    )
+    C, S = dataops._D53_CHUNK, dataops._D53_STRIDE
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if len(t) >= 1}
+    for doc_id, chunks in by_doc.items():
+        text = docs[doc_id]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # count formula: starts 0, S, 2S, … while start < len
+        assert len(chunks) == (len(text) - 1) // S + 1
+        for r in chunks:
+            start = r["chunk_id"] * S
+            expected = text[start : start + C]
+            assert r["chunk_start"] == start
+            assert r["chunk_len"] == len(expected)
+            assert r["chunk_hash"] == hashlib.md5(expected.encode()).hexdigest()
+        # stride < chunk ⇒ windows overlap ⇒ full coverage of the doc
+        covered = max(r["chunk_start"] + r["chunk_len"] for r in chunks)
+        assert covered == len(text)
+
+
+def test_d54_incremental_keep_set(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    index_hashes = {
+        r["h"]
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .collect()
+    }
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = dataops.QUERIES["d54_incremental_dedup"](spark, SF).collect()
+    assert kept, "batch must contribute at least one novel document"
+    for r in kept:
+        assert r["text_hash"] not in index_hashes
+        assert r["keep_doc"] % 2 == 1
+    # completeness: every batch hash is either kept or known to the index
+    batch_hashes = {
+        r["h"] for r in batch.select(F.md5("text").alias("h")).collect()
+    }
+    kept_hashes = {r["text_hash"] for r in kept}
+    assert batch_hashes - kept_hashes <= index_hashes
+
+
+def test_d55_matches_training_rule(spark):
+    """The frozen classifier was distilled from the d08 hard gate
+    (train acc 0.984 at sf0.01); on the held-out sf0.001 corpus its
+    keep decisions must still track the rule."""
+    rows = dataops.QUERIES["d55_quality_classifier_apply"](spark, SF).collect()
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+    rule = {
+        r["doc_id"]: r["quality_ok"]
+        for r in dataops.QUERIES["d08_quality_score"](spark, SF).collect()
+    }
+    agree = sum(1 for r in rows if r["keep"] == rule[r["doc_id"]])
+    assert agree / len(rows) >= 0.95
+    # both classes must occur, else the gate is vacuous on this corpus
+    assert 0 < sum(r["keep"] for r in rows) < len(rows)
+
+
+def test_d56_incremental_neardup_drops_planted_groups(spark):
+    rows = dataops.QUERIES["d56_incremental_neardup_golden"](spark, SF).collect()
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    assert all((r["keep"] == 1) == (r["n_dups"] == 0) for r in rows)
+    # the planted substitution-group store guarantees both outcomes exist
+    keeps = [r["keep"] for r in rows]
+    assert 0 < sum(keeps) < len(keeps)
+
+
+def test_d57_budget_sample_is_exact_prefix(spark):
+    import hashlib as _h
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("nt")
+    ).collect()
+    order = sorted(
+        docs,
+        key=lambda r: (_h.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]),
+    )
+    expect, cum = [], 0
+    for r in order:
+        cum += r["nt"]
+        if cum > dataops._D57_BUDGET:
+            break
+        expect.append((r["doc_id"], cum))
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in dataops.QUERIES["d57_token_budget_sample"](spark, SF).collect()
+    )
+    assert got == sorted(expect)
+    assert 0 < len(got) < len(docs)  # budget bites, sample non-empty

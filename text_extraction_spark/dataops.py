@@ -4560,3 +4560,335 @@ def d52(spark, sf):
     rows = [(f"w{i}", round(float(w[i]), 6)) for i in range(4)]
     rows += [("final_loss", round(loss, 6)), ("train_acc", round(acc, 6))]
     return spark.createDataFrame(rows, "param string, value double")
+# ------------------------- round-6 session-3: incremental-curation ops
+
+
+# Sliding-window chunking (d53): the long-document → training-sample
+# step (context-window chunking with overlap, the RAG/pretraining
+# "chunk with stride" shape). Distinct from d43 (which concatenates and
+# packs WHOLE docs into token buckets): d53 splits each document into
+# overlapping fixed-size windows so no span is lost at a chunk
+# boundary. Starts are 0, S, 2S, … while start < len(text); tail chunks
+# may be short.
+_D53_CHUNK = 180  # chars per chunk
+_D53_STRIDE = 120  # overlap = _D53_CHUNK - _D53_STRIDE = 60 chars
+
+_D53_SQL = f"""
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(i * {_D53_STRIDE} AS INT) AS chunk_start,
+       CAST(len(substring(text, CAST(i * {_D53_STRIDE} + 1 AS INT), {_D53_CHUNK})) AS INT)
+           AS chunk_len,
+       md5(substring(text, CAST(i * {_D53_STRIDE} + 1 AS INT), {_D53_CHUNK})) AS chunk_hash
+FROM documents,
+     UNNEST(range(0, (len(text) - 1) // {_D53_STRIDE} + 1)) AS u(i)
+WHERE len(text) >= 1
+"""
+
+
+@q("d53_chunk_sliding", _D53_SQL)
+def d53(spark, sf):
+    """Sliding-window chunking with stride: each doc explodes into
+    ceil(len/S) overlapping windows of ≤ _D53_CHUNK chars. At 100 TB
+    this is a pure narrow op — sequence/explode/substring all inside
+    whole-stage codegen, zero shuffles, output partitioning inherited
+    from the scan — which is exactly why chunking belongs BEFORE any
+    shuffle-heavy stage in a curation DAG. Guarded `when(n >= 1)`
+    because Spark's sequence(0, -1) is DESCENDING [0,-1], not empty
+    (the d04 gotcha); the md5 chunk hash value-checks the exact window
+    CONTENT, not just its coordinates."""
+    d = t(spark, sf, "documents").filter(F.length("text") >= 1)
+    n = F.length("text")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.floor((n - 1) / _D53_STRIDE).cast("int"))
+    ).alias("i")
+    c = d.select("doc_id", "text", idx)
+    chunk = F.col("text").substr(
+        F.col("i") * _D53_STRIDE + 1, F.lit(_D53_CHUNK)
+    )
+    return c.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_id"),
+        (F.col("i") * _D53_STRIDE).cast("int").alias("chunk_start"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+# Incremental exact dedup (d54): the production shape of d01 — a NEW
+# crawl batch arrives and must dedup against the EXISTING corpus index
+# without re-touching it. Index = even doc_ids (stands in for the
+# persisted corpus hash index), batch = odd doc_ids.
+_D54_SQL = """
+WITH batch AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc, count(*) AS n_batch_copies
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY md5(text)
+)
+SELECT b.text_hash, b.keep_doc, b.n_batch_copies
+FROM batch b
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents i
+  WHERE i.doc_id % 2 = 0 AND md5(i.text) = b.text_hash
+)
+"""
+
+
+@q("d54_incremental_dedup", _D54_SQL)
+def d54(spark, sf):
+    """Incremental exact dedup: first-wins WITHIN the batch (groupBy
+    min), then drop anything whose content hash already exists in the
+    corpus index (left_anti). At 100 TB the index is a persisted
+    hash-bucketed table: the anti-join shuffles both sides on the
+    uniform 128-bit hash (no skew possible), the batch side is tiny
+    relative to the index, and the index is never rewritten — the
+    incremental property that makes daily crawl ingestion O(batch),
+    not O(corpus)."""
+    d = t(spark, sf, "documents")
+    batch = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )
+    index = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    return batch.join(index, "text_hash", "left_anti")
+
+
+# Frozen quality classifier (d55): the APPLY side of d52 — production
+# pipelines train the fastText-style quality classifier once (d52) and
+# then gate every ingested document with the FROZEN model. Constants
+# below are d52's exact output on the sf0.01 corpus (w after 60
+# full-batch GD iterations, z-score stats from the same run), rounded
+# to 6 dp and embedded identically in the Spark plan and the oracle —
+# the model is data, not code, so both engines score with the same
+# literals.
+_D55_W = (4.547937, 2.674401, 0.113848, 0.023706)  # w0 (bias), w1..w3
+_D55_M = (0.485425, 0.456986, 0.061589)  # feature means x1..x3
+_D55_S = (0.068663, 0.017651, 0.036668)  # feature stddevs x1..x3
+
+_D55_SQL = f"""
+WITH feat AS (
+  SELECT doc_id,
+         least(ln(1 + len(string_split(text, ' '))) / 8.0, 1.0) AS x1,
+         CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) / 12.0 AS x2,
+         CAST(len(list_filter(string_split(text, ' '),
+                  w -> list_contains(string_split('{_STOPWORDS}', ' '), w))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS x3
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         {_D55_W[0]}
+         + {_D55_W[1]} * ((x1 - {_D55_M[0]}) / {_D55_S[0]})
+         + {_D55_W[2]} * ((x2 - {_D55_M[1]}) / {_D55_S[1]})
+         + {_D55_W[3]} * ((x3 - {_D55_M[2]}) / {_D55_S[2]}) AS z
+  FROM feat
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       CASE WHEN round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 THEN 1 ELSE 0 END AS keep
+FROM z
+"""
+
+
+@q("d55_quality_classifier_apply", _D55_SQL)
+def d55(spark, sf):
+    """Score every document with the frozen d52 logistic model and gate
+    at 0.5. Pure JVM expressions (the weights ride the plan as
+    literals — a broadcast scalar at cluster scale), so the op is a
+    narrow map over the scan: no shuffle, no Python, fully
+    pushdown-friendly — the cheapest possible corpus gate, which is
+    why classifier filtering runs FIRST in real curation DAGs. The
+    keep rule thresholds the ROUNDED score so Spark and the oracle cut
+    identically (the d36 round-then-threshold rule)."""
+    d = t(spark, sf, "documents")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    x1 = F.least(F.log(F.lit(1.0) + nw.cast("double")) / 8.0, F.lit(1.0))
+    x2 = F.length("text").cast("double") / nw / F.lit(12.0)
+    x3 = (
+        F.size(
+            F.filter(
+                words, lambda w: F.array_contains(F.split(F.lit(_STOPWORDS), " "), w)
+            )
+        ).cast("double")
+        / nw
+    )
+    z = (
+        F.lit(_D55_W[0])
+        + F.lit(_D55_W[1]) * ((x1 - _D55_M[0]) / _D55_S[0])
+        + F.lit(_D55_W[2]) * ((x2 - _D55_M[1]) / _D55_S[1])
+        + F.lit(_D55_W[3]) * ((x3 - _D55_M[2]) / _D55_S[2])
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        score.alias("score"),
+        F.when(score >= 0.5, 1).otherwise(0).alias("keep"),
+    )
+
+
+# Incremental NEAR-dup (d56): the d54 shape for near-duplicates — a new
+# batch against the existing corpus' MinHash index. Runs over the d30
+# planted substitution-group corpus (candidate recall 1.0 by
+# construction — every true pair sits at ~0.90 Jaccard, escaping all 32
+# bands with prob ~1e-8), which licenses a brute-force value oracle
+# exactly like d36. Index = even doc_ids, batch = odd.
+def d56_oracle_sql() -> str:
+    """Lazy (embeds the fixture path): brute-force all-pairs word-set
+    Jaccard, then the same keep rule as the Spark op — a batch doc is
+    dropped if any ≥0.5 partner is an index doc (either side) or an
+    EARLIER batch doc (first-wins within the batch)."""
+    jac = (
+        "round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)"
+        " / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6)"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+  FROM read_parquet('{dedup_corpus_store_dir()}/documents.parquet')
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM docs a JOIN docs b ON b.doc_id > a.doc_id
+  WHERE {jac} >= 0.5
+),
+dups AS (
+  SELECT doc_b AS doc_id, count(*) AS n
+  FROM pairs WHERE doc_b % 2 = 1
+  GROUP BY doc_b
+  UNION ALL
+  SELECT doc_a AS doc_id, count(*) AS n
+  FROM pairs WHERE doc_a % 2 = 1 AND doc_b % 2 = 0
+  GROUP BY doc_a
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_dups,
+       CASE WHEN coalesce(s.n, 0) = 0 THEN 1 ELSE 0 END AS keep
+FROM (SELECT doc_id FROM docs WHERE doc_id % 2 = 1) d
+LEFT JOIN (SELECT doc_id, sum(n) AS n FROM dups GROUP BY doc_id) s
+  ON d.doc_id = s.doc_id
+"""
+
+
+@q("d56_incremental_neardup_golden")  # oracle registered lazily (store path)
+def d56(spark, sf):
+    """Incremental near-dup against a MinHash index: verified pairs
+    (the exact d13/d36 machinery) restricted to batch docs, keep = no
+    ≥0.5 partner among index docs or earlier batch docs. At 100 TB the
+    index side's signatures are PRECOMPUTED and persisted
+    (band, bucket)-bucketed, so a daily batch joins its own signatures
+    against the index buckets — O(batch) new work per ingest, the
+    whole point of incremental curation. sf_dir is ignored (own
+    fixture)."""
+    import os
+
+    docs = spark.read.parquet(
+        os.path.join(dedup_corpus_store_dir(), "documents.parquet")
+    )
+    pairs = minhash_verified_pairs(docs)
+    # partner < d: any smaller-id partner (index doc or earlier batch
+    # doc) displaces d; partner > d only counts when it is an index
+    # doc. ONE pass over pairs (array_compact + explode), not two
+    # filtered branches that would each recompute the MinHash subtree.
+    displaced = F.array_compact(
+        F.array(
+            F.when(F.col("doc_b") % 2 == 1, F.col("doc_b")),
+            F.when(
+                (F.col("doc_a") % 2 == 1) & (F.col("doc_b") % 2 == 0),
+                F.col("doc_a"),
+            ),
+        )
+    )
+    dups = (
+        pairs.select(F.explode(displaced).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return (
+        batch.join(dups, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            F.when(F.coalesce("n_dups", F.lit(0)) == 0, 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
+# Token-budget subsampling (d57): "give me exactly B tokens of this
+# source" — the mixture-construction step that follows d34's
+# temperature weighting. Selection order is content-addressed
+# (md5(doc_id), the d18/d51 rule) so the kept prefix is a pure
+# function of the corpus, not of engine or cluster size.
+_D57_BUDGET = 16_000  # ~58% of the ~28k-token test corpora: both kept
+# and dropped docs exist at sf0.001 AND sf0.01
+_D57_BUCKETS = 256
+
+_D57_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+             AS cum_tokens
+  FROM d
+)
+WHERE cum_tokens <= {_D57_BUDGET}
+"""
+
+
+@q("d57_token_budget_sample", _D57_SQL)
+def d57(spark, sf):
+    """Exact token-budget prefix sample WITHOUT a single-reducer global
+    window: a naive `Window.orderBy(h)` (no partitionBy) drags the
+    whole corpus through one task. Instead the classic two-stage
+    running sum: (1) docs land in 256 order-preserving range buckets
+    (first md5 byte — lexicographic hex order IS numeric byte order),
+    (2) one tiny agg computes per-bucket token totals, whose prefix
+    offsets (≤256 rows, driver-bounded like the IVF sample) broadcast
+    back, (3) each bucket computes its LOCAL running sum in parallel
+    and adds its offset. Every stage is JVM-side; the only wide op is
+    the bucket repartition. At 100 TB: bucket count scales with the
+    cluster, offsets stay O(buckets)."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn(
+        "bucket",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int"),
+    )
+    totals = (
+        d.groupBy("bucket").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    totals.sort(key=lambda r: r["bucket"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["bucket"]] = acc
+        acc += r["tot"]
+    off_df = d.sparkSession.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "bucket int, offset long"
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(off_df), "bucket")
+        .withColumn("cum_tokens", (F.col("offset") + F.sum("n_tokens").over(w)))
+        .filter(F.col("cum_tokens") <= _D57_BUDGET)
+        .select("doc_id", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"))
+    )
