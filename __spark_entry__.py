@@ -167,6 +167,12 @@ _CAP_TAIL = (
     "d05_ann_cosine_bruteforce",
     "d07_token_count",
     "d27_tfidf_topk",
+    # round 6 session 3: d58 snapshot diff, d59 streaming ingest dedup
+    # (first streaming entry with a value oracle), d60 source overlap
+    # join the head — three more r5-green demotions
+    "d16_pii_scrub",
+    "d17_paragraph_dedup",
+    "d31_unigram_lm_score",
 )
 
 

@@ -120,3 +120,81 @@ def test_d57_budget_sample_is_exact_prefix(spark):
     )
     assert got == sorted(expect)
     assert 0 < len(got) < len(docs)  # budget bites, sample non-empty
+
+
+def test_d58_snapshot_diff_statuses(spark):
+    rows = {r["doc_id"]: r["status"] for r in dataops.QUERIES["d58_snapshot_diff"](spark, SF).collect()}
+    ids = [r["doc_id"] for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()]
+    assert set(rows) == set(ids)
+    for i in ids:
+        if i % 10 == 0:
+            assert rows[i] == "added"
+        elif i % 10 == 9:
+            assert rows[i] == "removed"
+        elif i % 7 == 3:
+            assert rows[i] == "changed"
+        else:
+            assert rows[i] == "unchanged"
+    assert len(set(rows.values())) == 4  # all four outcomes occur
+
+
+def test_d59_streaming_set_equals_batch_and_is_incremental(spark):
+    import tempfile
+
+    from text_extraction_spark import streaming
+
+    got = {r["text_hash"] for r in dataops.QUERIES["d59_stream_ingest_dedup"](spark, SF).collect()}
+    want = {
+        r["h"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    # the replay genuinely arrives as multiple micro-batches (state
+    # carries across them), not one big batch
+    replay = streaming.make_docs_replay_dir(SF, tempfile.mkdtemp(prefix="docs_mb_"))
+    _, stats = streaming.run_available_now(
+        streaming.streaming_ingest_dedup(streaming.read_docs_stream(spark, replay)),
+        spark,
+        with_stats=True,
+    )
+    assert stats["batches"] >= 8
+
+
+def test_d60_source_overlap_matches_local_bruteforce(spark):
+    import hashlib as _h
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("source", "text").collect()
+    grams: dict = {}
+    for r in docs:
+        w = r["text"].split(" ")
+        for i in range(len(w) - 2):
+            grams.setdefault(r["source"], set()).add(
+                _h.md5(" ".join(w[i : i + 3]).encode()).hexdigest()
+            )
+    expect = {}
+    srcs = sorted(grams)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(grams[a] & grams[b])
+            if inter:
+                expect[(a, b)] = (inter, round(inter / len(grams[a] | grams[b]), 6))
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_common"], r["jaccard"])
+        for r in dataops.QUERIES["d60_source_overlap"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_d60_plan_reuses_gram_exchange(spark):
+    """The 4 logical instances of the distinct-gram subtree must
+    collapse to one executed scan — AQE ReusedExchange, the single-scan
+    guarantee the docstring claims."""
+    df = dataops.QUERIES["d60_source_overlap"](spark, SF)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("ReusedExchange") >= 1

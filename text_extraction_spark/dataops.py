@@ -4892,3 +4892,181 @@ def d57(spark, sf):
         .filter(F.col("cum_tokens") <= _D57_BUDGET)
         .select("doc_id", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"))
     )
+
+
+# Snapshot diff (d58): recrawl CDC — yesterday's corpus snapshot vs
+# today's, classified added/removed/changed/unchanged. Snapshots are
+# carved deterministically from the one test table: A (yesterday) lacks
+# the docs added today (doc_id % 10 = 0), B (today) lacks the docs
+# removed today (doc_id % 10 = 9) and carries a text revision for
+# doc_id % 7 = 3.
+_D58_SQL = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+), b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 10 <> 9
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
+@q("d58_snapshot_diff", _D58_SQL)
+def d58(spark, sf):
+    """Snapshot diff between two corpus versions: full-outer join on
+    doc_id comparing content HASHES, never text — at 100 TB both sides
+    compute md5 at the scan (column-pruned to doc_id+text, hash emitted
+    map-side) so only (id, 16-byte hash) pairs reach the shuffle, and
+    with both snapshots stored bucketed by doc_id (the Iceberg layout
+    A18/A19 writes) the join is co-located with zero shuffle. This is
+    the incremental-ingest planner: 'added'+'changed' rows are
+    EXACTLY the set d54/d56 must process tomorrow."""
+    d = t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("ha")
+    )
+    b = d.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 3, F.concat("text", F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("hb"),
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("ha").isNull(), "added")
+        .when(F.col("hb").isNull(), "removed")
+        .when(F.col("ha") != F.col("hb"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+@q(
+    "d59_stream_ingest_dedup",
+    "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+)
+def d59(spark, sf):
+    """Streaming ingest-dedup as a FULL value-oracle entry: the corpus
+    replays as an 8-chunk file stream (ingest order = doc_id order),
+    dropDuplicates state accumulates content hashes across micro-batches
+    under Trigger.AvailableNow, and the emitted hash set must equal the
+    batch answer `SELECT DISTINCT md5(text)` exactly — streaming and
+    batch semantics agree on the deduped SET regardless of micro-batch
+    boundaries, which is what makes the result deterministic and
+    oracle-checkable (the first streaming entry with a value oracle,
+    not rows-only). At scale the state store is one hash per distinct
+    doc per partition — the streaming twin of d54's persisted index."""
+    import tempfile
+
+    from . import streaming
+
+    replay = streaming.make_docs_replay_dir(
+        sf, tempfile.mkdtemp(prefix="docs_ingest_")
+    )
+    return streaming.run_available_now(
+        streaming.streaming_ingest_dedup(streaming.read_docs_stream(spark, replay)),
+        spark,
+        output_mode="append",
+    ).select("text_hash")
+
+
+# Cross-source overlap matrix (d60): which sources substantially
+# duplicate each other — the corpus-curation view that decides which
+# crawls/dumps to drop wholesale before any per-document dedup runs.
+# Overlap = Jaccard over each source's DISTINCT 3-word shingle set.
+_D60_SQL = """
+WITH tok AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         md5(w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' ' ||
+             w[CAST(i + 2 AS INT)]) AS g
+  FROM tok, UNNEST(range(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 3
+), tot AS (
+  SELECT source, count(*) AS n FROM g GROUP BY source
+), inter AS (
+  SELECT x.source AS source_a, y.source AS source_b, count(*) AS n_common
+  FROM g x JOIN g y ON x.g = y.g AND x.source < y.source
+  GROUP BY x.source, y.source
+)
+SELECT i.source_a, i.source_b, CAST(i.n_common AS BIGINT) AS n_common,
+       round(CAST(i.n_common AS DOUBLE) / (ta.n + tb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN tot ta ON ta.source = i.source_a
+JOIN tot tb ON tb.source = i.source_b
+"""
+
+
+@q("d60_source_overlap", _D60_SQL)
+def d60(spark, sf):
+    """Pairwise source-overlap (shingle Jaccard) without an all-pairs
+    document join: explode to DISTINCT (source, gram) rows — the one
+    shuffle, on the uniform gram hash — then self-join on gram, where
+    fan-out per gram is bounded by the SOURCE count (≤ n_sources² pair
+    rows per gram), not by document count; per-source totals ride in as
+    a broadcast. At 100 TB with ~10³ sources the intersect stage is
+    O(grams · shared-source-pairs) — linear in corpus size — and the
+    output is a ≤ n_sources² summary table. The distinct-gram subtree
+    appears 4× in the logical plan (x, y, and both total sides) but
+    executes ONCE: AQE replaces the other three with ReusedExchange
+    (pinned in tests/test_dataops_incremental.py), so the corpus is
+    scanned and exploded a single time."""
+    tok = (
+        t(spark, sf, "documents")
+        .select("source", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    g = (
+        tok.select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.size("w") - 3)).alias("i"),
+            "w",
+        )
+        .select(
+            "source",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at("w", F.col("i") + 1),
+                    F.element_at("w", F.col("i") + 2),
+                    F.element_at("w", F.col("i") + 3),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    tot = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    x = g.select(F.col("source").alias("source_a"), "g")
+    y = g.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        x.join(y, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

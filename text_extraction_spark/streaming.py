@@ -277,3 +277,49 @@ def stream_stream_join(spark: SparkSession, replay_dir: str) -> DataFrame:
             "p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"
         ),
     ).select("purchase_id", "signup_id", "p_ts", "s_ts")
+
+
+def make_docs_replay_dir(sf_dir: str, out_dir: str, n_chunks: int = 8) -> str:
+    """Split documents.parquet into n doc_id-ordered chunks with strictly
+    increasing mtimes — the deterministic ingest-stream stand-in for a
+    crawl feed (same mtime discipline as make_replay_dir: the file
+    source orders new files by modification time)."""
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    import pyarrow.compute as pc
+
+    tbl = tbl.take(pc.sort_indices(tbl.column("doc_id")))
+    os.makedirs(out_dir, exist_ok=True)
+    n = tbl.num_rows
+    step = max(1, n // n_chunks)
+    chunks = [tbl.slice(i * step, step) for i in range(n_chunks - 1)]
+    chunks.append(tbl.slice((n_chunks - 1) * step))
+    import time as _time
+
+    base = _time.time()
+    for i, c in enumerate(c for c in chunks if c.num_rows):
+        p = os.path.join(out_dir, f"chunk-{i:03d}.parquet")
+        pq.write_table(c, p)
+        os.utime(p, (base + i, base + i))
+    return out_dir
+
+
+def read_docs_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    schema = spark.read.parquet(replay_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
+def streaming_ingest_dedup(stream: DataFrame) -> DataFrame:
+    """Streaming exact ingest-dedup: the d54 incremental shape as a
+    continuous query — each micro-batch's documents dedup against ALL
+    previously-seen content hashes via dropDuplicates state. The state
+    store holds one 128-bit hash per distinct document (at production
+    scale, bounded with dropDuplicatesWithinWatermark over an ingest-time
+    watermark; this corpus feed has no event time, so state is the full
+    hash set — the same memory the batch index join would broadcast)."""
+    return stream.select(F.md5("text").alias("text_hash")).dropDuplicates(
+        ["text_hash"]
+    )
