@@ -173,6 +173,12 @@ _CAP_TAIL = (
     "d16_pii_scrub",
     "d17_paragraph_dedup",
     "d31_unigram_lm_score",
+    # round 6 session 3: d61 stratified split, d62 length curriculum,
+    # d63 mixture materialization join the head — three more r5-green
+    # demotions
+    "d19_dedup_components",
+    "d25_curation_pipeline",
+    "d32_vocab_coverage",
 )
 
 

@@ -198,3 +198,74 @@ def test_d60_plan_reuses_gram_exchange(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert plan.count("ReusedExchange") >= 1
+
+
+def test_d61_split_quotas_exact_per_lang(spark):
+    rows = dataops.QUERIES["d61_stratified_split"](spark, SF).collect()
+    from collections import Counter
+
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], Counter())[r["split"]] += 1
+    assert per_lang
+    for lang, c in per_lang.items():
+        n = sum(c.values())
+        assert c["train"] == n * 9 // 10
+        assert c["val"] == n * 95 // 100 - n * 9 // 10
+        assert c["test"] == n - n * 95 // 100
+        assert c["test"] >= 1  # every language contributes to eval
+
+
+def test_d62_curriculum_rank_is_global_and_monotone(spark):
+    rows = sorted(
+        dataops.QUERIES["d62_curriculum_length"](spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    n = len(rows)
+    assert [r["rank"] for r in rows] == list(range(1, n + 1))
+    # rank order is non-decreasing in n_words (the curriculum key)
+    words = [r["n_words"] for r in rows]
+    assert all(a <= b for a, b in zip(words, words[1:]))
+    # deciles are balanced to within 1
+    from collections import Counter
+
+    sizes = Counter(r["phase"] for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_d63_budgets_respected_and_tight(spark):
+    import math
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("nt")
+    ).collect()
+    tok_per_source: dict = {}
+    for r in docs:
+        tok_per_source[r["source"]] = tok_per_source.get(r["source"], 0) + r["nt"]
+    wgt = {s: int(math.floor(math.sqrt(t) * 1000)) for s, t in tok_per_source.items()}
+    wsum = sum(wgt.values())
+    budget = {s: w * dataops._D63_TOTAL // wsum for s, w in wgt.items()}
+    got: dict = {}
+    for r in dataops.QUERIES["d63_mixture_materialize"](spark, SF).collect():
+        got.setdefault(r["source"], []).append(r)
+    assert set(got) <= set(budget)
+    for s, rows in got.items():
+        cum = max(r["cum_tokens"] for r in rows)
+        assert cum <= budget[s]
+        assert sum(r["n_tokens"] for r in rows) == cum
+    # the budget BINDS for at least half the sources (next doc would
+    # overflow), i.e. the op actually allocates, not passes everything
+    import hashlib as _h
+
+    binding = 0
+    for s in got:
+        order = sorted(
+            (r for r in docs if r["source"] == s),
+            key=lambda r: (_h.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]),
+        )
+        kept_ids = {r["doc_id"] for r in got[s]}
+        nxt = next((r for r in order if r["doc_id"] not in kept_ids), None)
+        if nxt is not None:
+            binding += 1
+    assert binding >= len(got) // 2

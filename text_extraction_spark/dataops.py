@@ -5070,3 +5070,223 @@ def d60(spark, sf):
             ).alias("jaccard"),
         )
     )
+# ---------------- round-6 session-3 batch 2: ordered-selection primitives
+
+
+def _two_stage_prefix(d, part_col, bucket_col, order_cols, weight_col):
+    """Distributed prefix-sum/rank without a single-reducer global
+    window — the shared primitive behind d61/d62/d63 (and the d57
+    shape): rows carry an ORDER-PRESERVING bucket key; one tiny agg
+    collects per-(part, bucket) weight totals (driver-bounded:
+    n_parts · n_buckets rows, the IVF-sample precedent); running
+    offsets broadcast back; every (part, bucket) cell computes its
+    LOCAL cumsum in parallel and adds its offset. Global invariant:
+    cum(row) = Σ weight over all rows of the same part that sort
+    before it. Returns (df + `cum` column, {part: total} dict). At
+    100 TB bucket count scales with the cluster; the only wide op is
+    the (part, bucket) exchange."""
+    totals = (
+        d.groupBy(part_col, bucket_col).agg(F.sum(weight_col).alias("t")).collect()
+    )
+    totals.sort(key=lambda r: (r[part_col], r[bucket_col]))
+    offsets, part_totals = [], {}
+    for r in totals:
+        p = r[part_col]
+        offsets.append((p, r[bucket_col], part_totals.get(p, 0)))
+        part_totals[p] = part_totals.get(p, 0) + r["t"]
+    off_df = d.sparkSession.createDataFrame(
+        offsets, f"{part_col} string, {bucket_col} int, _offset long"
+    )
+    w = (
+        Window.partitionBy(part_col, bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = d.join(F.broadcast(off_df), [part_col, bucket_col]).withColumn(
+        "cum", F.col("_offset") + F.sum(weight_col).over(w)
+    )
+    return out.drop("_offset"), part_totals
+
+
+# Stratified train/val/test split (d61): exact 90/5/5 WITHIN each
+# language — proportional-hash splits only hit the ratio in
+# expectation; quota-by-rank hits it exactly, which is what mixture
+# specs demand. Rank is content-addressed (md5(doc_id), the d18 rule).
+_D61_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rk <= (n * 9) // 10 THEN 'train'
+            WHEN rk <= (n * 95) // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+@q("d61_stratified_split", _D61_SQL)
+def d61(spark, sf):
+    """Exact stratified split via the two-stage rank: docs land in 256
+    order-preserving hash buckets per language, per-(lang, bucket)
+    counts broadcast back as offsets, rank = offset + local
+    row_number — no language ever funnels through one reducer (the
+    d37 skew rule: a hot language IS the skew). Quota thresholds
+    (⌊0.9n⌋/⌊0.95n⌋, integer math in both engines) derive from the
+    same bounded offsets collection — no extra scan."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn("bkt", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    ranked, n_per_lang = _two_stage_prefix(
+        d.withColumn("one", F.lit(1)), "lang", "bkt", ("h", "doc_id"), "one"
+    )
+    cuts = [
+        (lang, n * 9 // 10, n * 95 // 100) for lang, n in n_per_lang.items()
+    ]
+    cut_df = spark.createDataFrame(cuts, "lang string, tr long, va long")
+    return (
+        ranked.join(F.broadcast(cut_df), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("cum") <= F.col("tr"), "train")
+            .when(F.col("cum") <= F.col("va"), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+# Length curriculum (d62): the classic short-to-long curriculum
+# schedule — global rank by token count, deciles as training phases.
+_D62_PHASES = 10
+_D62_BMAX = 500  # bucket = min(n_words, 500): order-preserving, bounded
+
+_D62_SQL = f"""
+WITH r AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         row_number() OVER (
+           ORDER BY len(string_split(text, ' ')),
+                    md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, n_words, CAST(rk AS BIGINT) AS rank,
+       CAST(1 + ((rk - 1) * {_D62_PHASES}) // n AS INT) AS phase
+FROM r
+"""
+
+
+@q("d62_curriculum_length", _D62_SQL)
+def d62(spark, sf):
+    """Global curriculum rank WITHOUT a global sort-to-one-reducer:
+    the bucket key is the order column itself (n_words, clamped —
+    trivially order-preserving), so the two-stage prefix rank gives
+    the exact global row_number; ties break content-addressed. Phase
+    = decile of rank. The total count comes from the same offsets
+    collection — one corpus scan plus the bounded agg."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn(
+        "bkt", F.least(F.col("n_words"), F.lit(_D62_BMAX)).cast("int")
+    ).withColumn("part", F.lit("all"))
+    ranked, totals = _two_stage_prefix(
+        d.withColumn("one", F.lit(1)), "part", "bkt", ("n_words", "h", "doc_id"), "one"
+    )
+    n = totals["all"]
+    # `div` = exact integer division (the oracle's `//`) — a double
+    # divide-then-truncate could round a hair differently at decile
+    # boundaries
+    return ranked.select(
+        "doc_id",
+        "n_words",
+        F.col("cum").alias("rank"),
+        F.expr(f"CAST(1 + (cum - 1) * {_D62_PHASES} div {int(n)} AS INT)").alias(
+            "phase"
+        ),
+    )
+
+
+# Mixture materialization (d63): d34's temperature weighting turned
+# into an actual per-source token allocation, then filled by
+# content-addressed prefix — "build me a 12k-token mix at alpha=0.5".
+# Weights are INTEGERIZED (floor(sqrt(tokens)·1000)) so the budget
+# arithmetic is exact integer math in both engines — no float-sum
+# ordering hazard.
+_D63_TOTAL = 12_000
+
+_D63_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), tot AS (
+  SELECT source, sum(nt) AS t FROM tok GROUP BY source
+), wgt AS (
+  SELECT source, CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1000) AS BIGINT) AS w
+  FROM tot
+), bud AS (
+  SELECT source,
+         CAST((w * {_D63_TOTAL}) // (SELECT sum(w) FROM wgt) AS BIGINT) AS budget
+  FROM wgt
+), sel AS (
+  SELECT doc_id, source, nt,
+         sum(nt) OVER (
+           PARTITION BY source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM tok
+)
+SELECT s.doc_id, s.source, s.nt AS n_tokens, CAST(s.cum AS BIGINT) AS cum_tokens
+FROM sel s JOIN bud b ON b.source = s.source
+WHERE s.cum <= b.budget
+"""
+
+
+@q("d63_mixture_materialize", _D63_SQL)
+def d63(spark, sf):
+    """Temperature-weighted mixture fill: per-source token budgets
+    (weight ∝ √tokens, the alpha=0.5 rebalance that upweights small
+    sources) materialized by per-source md5-order prefix under the
+    two-stage cumsum — every stage bounded, no per-source reducer
+    hotspot, budgets exact integers derived from the SAME offsets
+    collection (one corpus scan + the bounded agg, like d61/d62)."""
+    import math
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn("bkt", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    cumd, tok_per_source = _two_stage_prefix(
+        d, "source", "bkt", ("h", "doc_id"), "nt"
+    )
+    wgt = {s: int(math.floor(math.sqrt(t) * 1000)) for s, t in tok_per_source.items()}
+    wsum = sum(wgt.values())
+    buds = [(s, w * _D63_TOTAL // wsum) for s, w in wgt.items()]
+    bud_df = spark.createDataFrame(buds, "source string, budget long")
+    return (
+        cumd.join(F.broadcast(bud_df), "source")
+        .filter(F.col("cum") <= F.col("budget"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("nt").alias("n_tokens"),
+            F.col("cum").cast("long").alias("cum_tokens"),
+        )
+    )
