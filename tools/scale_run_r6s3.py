@@ -30,6 +30,10 @@ OPS = (
     "d58_snapshot_diff",
     "d59_stream_ingest_dedup",
     "d60_source_overlap",
+    # second batch (same session): ordered-selection primitives
+    "d61_stratified_split",
+    "d62_curriculum_length",
+    "d63_mixture_materialize",
 )
 
 
@@ -50,7 +54,10 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         return time.monotonic() - t0
 
+    only = set(sys.argv[1:])
     for name in OPS:
+        if only and not any(name.startswith(p) for p in only):
+            continue
         rec: dict = {"op": name}
         prev = None
         for tag, d in dirs:
