@@ -179,6 +179,13 @@ _CAP_TAIL = (
     "d19_dedup_components",
     "d25_curation_pipeline",
     "d32_vocab_coverage",
+    # round 6 session 3: d64 exposure audit, d65 source pruning, d66
+    # batch manifest join the head — the LAST three r5-green
+    # non-flagship demotions this round (only the flagship q04/q08/q10
+    # and x-entries remain r5-green under the cap)
+    "d35_ann_lsh_golden",
+    "d36_neardup_verified_golden",
+    "d37_per_source_cap",
 )
 
 

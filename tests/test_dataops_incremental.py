@@ -269,3 +269,77 @@ def test_d63_budgets_respected_and_tight(spark):
         if nxt is not None:
             binding += 1
     assert binding >= len(got) // 2
+
+
+def test_d64_exposure_bounds_and_planted_duplicate(spark):
+    rows = {r["doc_id"]: r for r in dataops.QUERIES["d64_duplication_exposure"](spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r["n_exposed"] <= r["n_grams"]
+        assert abs(r["exposure"] - round(r["n_exposed"] / r["n_grams"], 6)) < 1e-9
+    # full local brute-force twin over the whole corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    N = dataops._D64_N
+    per_doc: dict = {}
+    gram_docs: dict = {}
+    for d in docs:
+        w = d["text"].split(" ")
+        grams = [" ".join(w[i : i + N]) for i in range(len(w) - N + 1)]
+        if grams:
+            per_doc[d["doc_id"]] = grams
+            for g in set(grams):
+                gram_docs.setdefault(g, set()).add(d["doc_id"])
+    assert set(rows) == set(per_doc)
+    exposed_any = 0
+    for i, grams in per_doc.items():
+        n_exp = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+        assert rows[i]["n_grams"] == len(grams)
+        assert rows[i]["n_exposed"] == n_exp
+        exposed_any += n_exp > 0
+    assert exposed_any > 0, "corpus must contain some shared 8-grams"
+
+
+def test_d65_source_decision_matches_mean(spark):
+    rows = dataops.QUERIES["d65_source_quality_prune"](spark, SF).collect()
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in dataops.QUERIES["d55_quality_classifier_apply"](spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source").collect()
+    per_source: dict = {}
+    for d in docs:
+        per_source.setdefault(d["source"], []).append(scores[d["doc_id"]])
+    assert {r["source"] for r in rows} == set(per_source)
+    for r in rows:
+        assert r["n_docs"] == len(per_source[r["source"]])
+        # avg of 6-dp-rounded scores vs 4-dp-rounded avg of raw scores:
+        # equal within the rounding slack
+        approx = sum(per_source[r["source"]]) / r["n_docs"]
+        assert abs(r["avg_score"] - approx) < 1e-3
+        assert r["keep"] == (1 if r["avg_score"] >= dataops._D65_TAU else 0)
+
+
+def test_d66_manifest_is_complete_and_batch_exact(spark):
+    rows = sorted(
+        dataops.QUERIES["d66_batch_manifest"](spark, SF).collect(),
+        key=lambda r: r["global_pos"],
+    )
+    n = len(rows)
+    assert [r["global_pos"] for r in rows] == list(range(n))
+    B = dataops._D66_BATCH
+    for r in rows:
+        assert r["batch_idx"] == r["global_pos"] // B
+        assert r["pos_in_batch"] == r["global_pos"] % B
+    # shard-major: shards are non-decreasing along global order, and the
+    # within-shard order matches d51's placement exactly
+    shards = [r["shard"] for r in rows]
+    assert all(a <= b for a, b in zip(shards, shards[1:]))
+    d51_pos = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in dataops.QUERIES["d51_global_shuffle"](spark, SF).collect()
+    }
+    seen: dict = {}
+    for r in rows:
+        k = r["shard"]
+        seen[k] = seen.get(k, -1) + 1
+        assert d51_pos[(k, seen[k])] == r["doc_id"]

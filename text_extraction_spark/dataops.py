@@ -5295,3 +5295,198 @@ def d63(spark, sf):
             F.col("cum").cast("long").alias("cum_tokens"),
         )
     )
+
+
+# Duplication-exposure audit (d64): per-document memorization risk —
+# the fraction of a doc's sliding 8-gram POSITIONS whose gram occurs in
+# at least one OTHER document (the Lee et al. analysis view of what
+# d44 removes). Scores, not edits: the audit that decides whether a
+# source needs substring dedup at all.
+_D64_N = 8
+
+_D64_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pos AS (
+  SELECT doc_id,
+         md5(array_to_string(w[CAST(i AS INT):CAST(i + {_D64_N} - 1 AS INT)], ' ')) AS g
+  FROM tok, UNNEST(range(1, len(w) - {_D64_N} + 2)) AS u(i)
+  WHERE len(w) >= {_D64_N}
+), dup AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g)
+  WHERE nd >= 2
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(d.g) AS BIGINT) AS n_exposed,
+       round(CAST(count(d.g) AS DOUBLE) / count(*), 6) AS exposure
+FROM pos p LEFT JOIN dup d ON p.g = d.g
+GROUP BY p.doc_id
+"""
+
+
+@q("d64_duplication_exposure", _D64_SQL)
+def d64(spark, sf):
+    """Exposure audit in three bounded stages: (1) explode docs to
+    (doc_id, gram-hash) positions — narrow; (2) distinct (gram, doc)
+    pairs → grams seen in ≥2 docs (one shuffle on the uniform gram
+    hash, map-side partial agg); (3) join positions back to the dup
+    set and aggregate per doc. At 100 TB the dup-gram table is small
+    relative to the corpus (duplication is the exception), so stage 3
+    is a broadcast-able join in practice; here it stays a shuffle join
+    on the same uniform key. Counting POSITIONS (not distinct grams)
+    weights repeated passages by how much of the doc they cover."""
+    tok = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _D64_N)
+    )
+    pos = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("w") - _D64_N)).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("i") + 1, _D64_N))).alias("g"),
+    )
+    dup = (
+        pos.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    j = pos.join(dup, "g", "left_outer")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count("is_dup").cast("long").alias("n_exposed"),
+        F.round(F.count("is_dup").cast("double") / F.count(F.lit(1)), 6).alias(
+            "exposure"
+        ),
+    )
+
+
+# Source-level quality pruning (d65): the FineWeb-style decision one
+# level up from d55 — score every doc with the frozen classifier,
+# aggregate per source, drop whole sources whose mean score misses the
+# bar (crawl loops and boilerplate farms fail as a SOURCE long before
+# per-doc filters catch every page).
+_D65_TAU = 0.8
+
+_D65_SQL = f"""
+WITH z AS (
+  SELECT doc_id, source,
+         {_D55_W[0]}
+         + {_D55_W[1]} * (((least(ln(1 + len(string_split(text, ' '))) / 8.0, 1.0)) - {_D55_M[0]}) / {_D55_S[0]})
+         + {_D55_W[2]} * (((CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) / 12.0) - {_D55_M[1]}) / {_D55_S[1]})
+         + {_D55_W[3]} * (((CAST(len(list_filter(string_split(text, ' '),
+                  w -> list_contains(string_split('{_STOPWORDS}', ' '), w))) AS DOUBLE)
+             / len(string_split(text, ' '))) - {_D55_M[2]}) / {_D55_S[2]}) AS z
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(1.0 / (1.0 + exp(-z))), 4) AS avg_score,
+       CASE WHEN round(avg(1.0 / (1.0 + exp(-z))), 4) >= {_D65_TAU}
+            THEN 1 ELSE 0 END AS keep
+FROM z GROUP BY source
+"""
+
+
+@q("d65_source_quality_prune", _D65_SQL)
+def d65(spark, sf):
+    """Source pruning over the frozen d55 scores: one narrow scoring
+    map (weights as literals) + one agg shuffle on source — the
+    cheapest whole-source gate. Keep thresholds the ROUNDED mean (the
+    d36 rule; 4 dp absorbs float-sum ordering differences between
+    engines). At 100 TB the output is one row per source — the table a
+    curation run reads FIRST to skip entire crawls."""
+    d = t(spark, sf, "documents")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    x1 = F.least(F.log(F.lit(1.0) + nw.cast("double")) / 8.0, F.lit(1.0))
+    x2 = F.length("text").cast("double") / nw / F.lit(12.0)
+    x3 = (
+        F.size(
+            F.filter(
+                words, lambda w: F.array_contains(F.split(F.lit(_STOPWORDS), " "), w)
+            )
+        ).cast("double")
+        / nw
+    )
+    z = (
+        F.lit(_D55_W[0])
+        + F.lit(_D55_W[1]) * ((x1 - _D55_M[0]) / _D55_S[0])
+        + F.lit(_D55_W[2]) * ((x2 - _D55_M[1]) / _D55_S[1])
+        + F.lit(_D55_W[3]) * ((x3 - _D55_M[2]) / _D55_S[2])
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    avg4 = F.round(F.avg("score"), 4)
+    return (
+        d.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            avg4.alias("avg_score"),
+            F.when(avg4 >= _D65_TAU, 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
+# Data-loader manifest (d66): the last step before training — turn the
+# d51 deterministic shuffle into (batch_idx, pos_in_batch) assignments
+# for a fixed batch size. Placement stays a pure function of doc_id,
+# so any trainer on any cluster rebuilds the identical epoch.
+_D66_BATCH = 32
+
+_D66_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+              % {_SHUF_SHARDS} AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || '#pos') AS pos_key
+  FROM documents
+), r AS (
+  SELECT doc_id, shard,
+         row_number() OVER (ORDER BY shard, pos_key, doc_id) - 1 AS gpos
+  FROM h
+)
+SELECT doc_id, shard, CAST(gpos AS BIGINT) AS global_pos,
+       CAST(gpos // {_D66_BATCH} AS BIGINT) AS batch_idx,
+       CAST(gpos % {_D66_BATCH} AS INT) AS pos_in_batch
+FROM r
+"""
+
+
+@q("d66_batch_manifest", _D66_SQL)
+def d66(spark, sf):
+    """Global position without a global sort: the d51 shard IS an
+    order-preserving bucket (shard-major order), so the two-stage
+    prefix rank gives the exact global row number with only the
+    (part, shard) exchange; batch arithmetic is integer `div`/`pmod`
+    in both engines. Shard count scales with the corpus, offsets stay
+    O(shards)."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("long")
+            % _SHUF_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#pos"))).alias(
+            "pos_key"
+        ),
+    ).withColumn("part", F.lit("all"))
+    ranked, _n = _two_stage_prefix(
+        d.withColumn("one", F.lit(1)), "part", "shard", ("pos_key", "doc_id"), "one"
+    )
+    return ranked.select(
+        "doc_id",
+        "shard",
+        (F.col("cum") - 1).cast("long").alias("global_pos"),
+        F.expr(f"CAST((cum - 1) div {_D66_BATCH} AS BIGINT)").alias("batch_idx"),
+        F.pmod(F.col("cum") - 1, F.lit(_D66_BATCH)).cast("int").alias("pos_in_batch"),
+    )

@@ -34,6 +34,10 @@ OPS = (
     "d61_stratified_split",
     "d62_curriculum_length",
     "d63_mixture_materialize",
+    # third batch (same session): audit/pruning/manifest
+    "d64_duplication_exposure",
+    "d65_source_quality_prune",
+    "d66_batch_manifest",
 )
 
 
