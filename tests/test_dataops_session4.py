@@ -1,0 +1,100 @@
+"""Round-6 session-4 ops: URL canonicalization dedup (d67), quality-
+argmax cluster representatives (d68), inverted-index build (d69).
+
+Value equality vs DuckDB is covered by the auto-parametrized oracle
+sweep (test_relational_oracle); these tests pin the SEMANTIC properties
+the oracle hash can't express: canonical-form invariants, the argmax
+keep rule, and index consistency (df/tf/postings vs a recount).
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from text_extraction_spark import dataops
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_d67_canonical_form_invariants(spark):
+    rows = dataops.QUERIES["d67_url_dedup"](spark, SF01).collect()
+    n_docs = spark.read.parquet(f"{SF01}/documents.parquet").count()
+    assert sum(r["n_copies"] for r in rows) == n_docs
+    # every doc key collapses to exactly one canonical page
+    assert len(rows) == dataops._D67_KEYS
+    for r in rows:
+        u = r["canonical_url"]
+        assert u.startswith("https://site")
+        assert "www." not in u and "#" not in u
+        assert "utm_" not in u and "fbclid" not in u
+        assert u == u.lower()
+        path = u.split("?")[0]
+        assert not path.endswith("/")
+        # host is a pure function of the page key → ?id=K determines site
+        key = int(u.rsplit("id=", 1)[1])
+        assert f"site{key % 7}." in u
+
+
+def test_d67_tracking_param_filter_is_order_insensitive(spark):
+    # canonical query params come out sorted: id= always survives alone
+    rows = dataops.QUERIES["d67_url_dedup"](spark, SF).collect()
+    for r in rows:
+        q = r["canonical_url"].split("?")[1]
+        assert q == f"id={r['canonical_url'].rsplit('id=', 1)[1]}"
+
+
+def _scores(spark, sf):
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    z = dataops._frozen_z(d)
+    return {
+        r["doc_id"]: r["z"]
+        for r in d.select("doc_id", z.alias("z")).collect()
+    }
+
+
+def test_d68_keeps_argmax_quality_member(spark):
+    reps = dataops.QUERIES["d68_cluster_representative"](spark, SF01).collect()
+    comp = dataops.QUERIES["d19_dedup_components"](spark, SF01).collect()
+    by_comp = {r["component"]: r for r in comp}
+    z = _scores(spark, SF01)
+    assert {r["component"] for r in reps} == set(by_comp)
+    for r in reps:
+        assert r["n_docs"] == by_comp[r["component"]]["n_docs"]
+        # the keep is at least as good as the min-id default keep
+        assert z[r["keep_doc"]] >= z[by_comp[r["component"]]["min_doc"]] - 1e-12
+        assert abs(1.0 / (1.0 + math.exp(-z[r["keep_doc"]])) - r["keep_score"]) < 5e-5
+
+
+def test_d68_representative_is_cluster_member(spark):
+    reps = dataops.QUERIES["d68_cluster_representative"](spark, SF01)
+    # component label is the min member id; keep_doc must be >= it and
+    # belong to the same contiguous candidate chain (edges join i, i+1)
+    bad = reps.filter(
+        (F.col("keep_doc") < F.col("component"))
+        | (F.col("keep_doc") >= F.col("component") + 64)
+    )
+    assert bad.count() == 0
+
+
+def test_d69_index_consistent_with_recount(spark):
+    idx = {r["word"]: r for r in dataops.QUERIES["d69_inverted_index"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    df_exp: dict = {}
+    tf_exp: dict = {}
+    post_exp: dict = {}
+    for r in docs:
+        seen = set()
+        for w in r["text"].split(" "):
+            tf_exp[w] = tf_exp.get(w, 0) + 1
+            if w not in seen:
+                seen.add(w)
+                df_exp[w] = df_exp.get(w, 0) + 1
+                post_exp.setdefault(w, []).append(r["doc_id"])
+    assert set(idx) == set(df_exp)
+    for w, r in idx.items():
+        assert r["df"] == df_exp[w]
+        assert r["tf"] == tf_exp[w]
+        assert r["postings"] == sorted(post_exp[w])[: dataops._D69_K]
+        assert r["postings"] == sorted(r["postings"])
+        assert len(r["postings"]) == min(r["df"], dataops._D69_K)

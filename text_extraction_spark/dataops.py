@@ -5490,3 +5490,279 @@ def d66(spark, sf):
         F.expr(f"CAST((cum - 1) div {_D66_BATCH} AS BIGINT)").alias("batch_idx"),
         F.pmod(F.col("cum") - 1, F.lit(_D66_BATCH)).cast("int").alias("pos_in_batch"),
     )
+
+
+# --------------------------------------------------------- session-4 ops
+# URL-level dedup (d67): the FIRST dedup a crawl pipeline runs — before
+# any content hashing, collapse recrawls of the same page whose URLs
+# differ only by tracking params / www / host case / trailing slash /
+# fragment. The testdata has no url column, so both engines derive the
+# SAME deterministic raw URL per doc from md5(doc_id) (the scaledata
+# derived-store pattern): ~2-3 docs share each canonical page key
+# (doc_id % 200) while every raw URL carries its own nibble-driven
+# noise (www prefix, host case, trailing slash, utm/fbclid params,
+# fragment). The op under test is the canonicalization + groupBy.
+_D67_KEYS = 200
+
+_D67_SQL = f"""
+WITH u AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, doc_id % {_D67_KEYS} AS key
+  FROM documents
+), raw AS (
+  SELECT doc_id,
+    'https://'
+    || CASE WHEN ('0x' || substring(h, 1, 1))::BIGINT % 2 = 0 THEN 'www.' ELSE '' END
+    || CASE WHEN ('0x' || substring(h, 2, 1))::BIGINT % 2 = 0
+            THEN upper('site' || CAST(key % 7 AS VARCHAR) || '.example.com')
+            ELSE 'site' || CAST(key % 7 AS VARCHAR) || '.example.com' END
+    || '/p/' || CAST(key AS VARCHAR)
+    || CASE WHEN ('0x' || substring(h, 3, 1))::BIGINT % 2 = 0 THEN '/' ELSE '' END
+    || '?' || CASE WHEN ('0x' || substring(h, 4, 1))::BIGINT % 2 = 0
+            THEN 'utm_source=news&id=' || CAST(key AS VARCHAR) || '&fbclid=' || substring(h, 5, 4)
+            ELSE 'id=' || CAST(key AS VARCHAR) END
+    || CASE WHEN ('0x' || substring(h, 5, 1))::BIGINT % 2 = 0 THEN '#sec2' ELSE '' END AS url
+  FROM u
+), canon AS (
+  SELECT doc_id,
+    'https://'
+    || regexp_replace(lower(regexp_extract(url, '^https://([^/?#]+)', 1)), '^www\\.', '')
+    || regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1), '/+$', '')
+    || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
+  FROM (
+    SELECT doc_id, url,
+      coalesce(list_aggregate(list_sort(list_filter(
+          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+          p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))),
+        'string_agg', '&'), '') AS cq
+    FROM raw)
+)
+SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       count(*) AS n_copies
+FROM canon GROUP BY canonical_url
+"""
+
+
+def _nibble_even(h, i: int):
+    """True when hex digit i (1-based) of md5 string `h` is even."""
+    return F.conv(F.substring(h, i, 1), 16, 10).cast("long") % 2 == 0
+
+
+@q("d67_url_dedup", _D67_SQL)
+def d67(spark, sf):
+    """URL canonicalization + dedup, all JVM expressions: synthesize the
+    raw URL (deterministic noise from md5 nibbles), then canonicalize —
+    lowercase host, strip www., strip trailing slash, drop the fragment,
+    and keep only non-tracking query params (sorted) — and groupBy the
+    canonical form. At 100 TB this is ONE uniform shuffle on the
+    canonical-url hash, runs before any text is even read (URL columns
+    only → tiny scan), and typically removes 10-30% of a crawl for
+    free. Tracking-param stripping is a higher-order filter over the
+    split param list (no Python)."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        (F.col("doc_id") % _D67_KEYS).alias("key"),
+    )
+    host = F.concat(
+        F.lit("site"), (F.col("key") % 7).cast("string"), F.lit(".example.com")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(_nibble_even("h", 1), F.lit("www.")).otherwise(F.lit("")),
+        F.when(_nibble_even("h", 2), F.upper(host)).otherwise(host),
+        F.lit("/p/"),
+        F.col("key").cast("string"),
+        F.when(_nibble_even("h", 3), F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            _nibble_even("h", 4),
+            F.concat(
+                F.lit("utm_source=news&id="),
+                F.col("key").cast("string"),
+                F.lit("&fbclid="),
+                F.substring("h", 5, 4),
+            ),
+        ).otherwise(F.concat(F.lit("id="), F.col("key").cast("string"))),
+        F.when(_nibble_even("h", 5), F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    chost = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^https://([^/?#]+)", 1)), r"^www\.", ""
+    )
+    cpath = F.regexp_replace(
+        F.regexp_extract("url", r"^https://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+                lambda p: ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)="),
+            )
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            chost,
+            cpath,
+            F.when(cq != "", F.concat(F.lit("?"), cq)).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").cast("long").alias("keep_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# Cluster-representative selection (d68): real dedup pipelines keep the
+# BEST member of each near-dup cluster, not the arbitrary min-id — a
+# recrawl of a page often has cleaner text than the first crawl. This
+# composes d19's connected components with d55's frozen quality score:
+# per component, keep argmax(score), ties broken by min doc_id. Ranking
+# uses z (sigmoid is monotone — no exp in the sort key); the reported
+# score rounds to 4 dp (the d36/d65 rule for cross-engine float sums).
+_D68_Z_SQL = f"""
+         {_D55_W[0]}
+         + {_D55_W[1]} * (((least(ln(1 + len(string_split(d.text, ' '))) / 8.0, 1.0)) - {_D55_M[0]}) / {_D55_S[0]})
+         + {_D55_W[2]} * (((CAST(length(d.text) AS DOUBLE) / len(string_split(d.text, ' ')) / 12.0) - {_D55_M[1]}) / {_D55_S[1]})
+         + {_D55_W[3]} * (((CAST(len(list_filter(string_split(d.text, ' '),
+                  w -> list_contains(string_split('{_STOPWORDS}', ' '), w))) AS DOUBLE)
+             / len(string_split(d.text, ' '))) - {_D55_M[2]}) / {_D55_S[2]})
+"""
+
+_D68_SQL = f"""
+WITH edges AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b
+  FROM documents d1 JOIN documents d2
+    ON d2.doc_id = d1.doc_id + 1 AND d2.lang = d1.lang
+  WHERE CAST(len(list_intersect(list_distinct(string_split(d1.text,' ')),
+                                list_distinct(string_split(d2.text,' ')))) AS DOUBLE)
+        / len(list_distinct(list_concat(string_split(d1.text,' '), string_split(d2.text,' ')))) >= 0.4
+),
+verts AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+bidir AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+cc AS (
+  WITH RECURSIVE r(id, label) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.a, r.label FROM r JOIN bidir e ON e.b = r.id WHERE r.label < e.a
+  )
+  SELECT id, min(label) AS component FROM r GROUP BY id
+),
+z AS (
+  SELECT d.doc_id, {_D68_Z_SQL} AS z
+  FROM documents d JOIN cc ON cc.id = d.doc_id
+),
+ranked AS (
+  SELECT cc.component, cc.id, z.z,
+         row_number() OVER (PARTITION BY cc.component ORDER BY z.z DESC, cc.id) AS rn,
+         count(*) OVER (PARTITION BY cc.component) AS n_docs
+  FROM cc JOIN z ON z.doc_id = cc.id
+)
+SELECT component, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(id AS BIGINT) AS keep_doc,
+       round(1.0 / (1.0 + exp(-z)), 4) AS keep_score
+FROM ranked WHERE rn = 1
+"""
+
+
+def _frozen_z(d):
+    """d55's frozen-classifier logit as a JVM Column over `text`."""
+    words = F.split("text", " ")
+    nw = F.size(words)
+    x1 = F.least(F.log(F.lit(1.0) + nw.cast("double")) / 8.0, F.lit(1.0))
+    x2 = F.length("text").cast("double") / nw / F.lit(12.0)
+    x3 = (
+        F.size(
+            F.filter(words, lambda w: F.array_contains(F.split(F.lit(_STOPWORDS), " "), w))
+        ).cast("double")
+        / nw
+    )
+    return (
+        F.lit(_D55_W[0])
+        + F.lit(_D55_W[1]) * ((x1 - _D55_M[0]) / _D55_S[0])
+        + F.lit(_D55_W[2]) * ((x2 - _D55_M[1]) / _D55_S[1])
+        + F.lit(_D55_W[3]) * ((x3 - _D55_M[2]) / _D55_S[2])
+    )
+
+
+@q("d68_cluster_representative", _D68_SQL)
+def d68(spark, sf):
+    """Best-member keep decision: d19's distributed min-label
+    components, then ONE extra shuffle — a window rank per component on
+    the frozen-quality logit (z, not sigmoid(z): monotone, so the sort
+    key needs no exp) with doc_id as the deterministic tiebreak. At
+    100 TB components are built from the LSH candidate pairs (d02/d13)
+    and the score join is doc_id-co-partitioned with the component
+    labels; per-component state is the O(cluster) member list, never
+    O(cluster²) pairs."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", "text", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    d1 = d.select(F.col("doc_id").alias("a"), F.col("lang").alias("l1"), F.col("words").alias("wa"))
+    d2 = d.select(F.col("doc_id").alias("b"), F.col("lang").alias("l2"), F.col("words").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size(F.array_distinct(F.concat("wa", "wb")))
+    edges = (
+        d1.join(d2, (F.col("b") == F.col("a") + 1) & (F.col("l1") == F.col("l2")))
+        .filter(inter.cast("double") / union >= 0.4)
+        .select("a", "b")
+    )
+    cc = _connected_components(edges)
+    scored = d.select("doc_id", _frozen_z(d).alias("z"))
+    m = cc.join(scored, cc["id"] == scored["doc_id"]).select("component", "id", "z")
+    w = Window.partitionBy("component").orderBy(F.col("z").desc(), F.col("id"))
+    wc = Window.partitionBy("component")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "n_docs",
+            F.col("id").cast("long").alias("keep_doc"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 4).alias("keep_score"),
+        )
+    )
+
+
+# Inverted-index build (d69): term → document frequency, total term
+# frequency, and the first-K posting sample — the search-index side of
+# a corpus store (used for decontamination lookups, quality forensics,
+# and dataset search UIs). Posting lists are CAPPED at K ascending
+# doc_ids: a stopword's full posting list at 100 TB is the corpus
+# itself; the cap bounds the widest row while df/tf stay exact.
+_D69_K = 8
+
+_D69_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT word, doc_id, count(*) AS c FROM tok GROUP BY word, doc_id
+)
+SELECT word, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS tf,
+       (list(doc_id ORDER BY doc_id))[1:{_D69_K}] AS postings
+FROM tf GROUP BY word
+"""
+
+
+@q("d69_inverted_index", _D69_SQL)
+def d69(spark, sf):
+    """Two partial-agg shuffles, both on uniform keys: explode to
+    (word, doc_id) → count (map-side combine collapses within-doc
+    repeats before the shuffle), then per-word df/tf/capped postings.
+    collect_list is bounded by the doc count per word, and the slice
+    keeps only K after the sort — at 100 TB swap the collect for a
+    window row_number ≤ K pre-aggregation so no reducer ever holds a
+    stopword's full list; df/tf are plain longs either way."""
+    tok = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = tok.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, _D69_K).alias("postings"),
+    )
