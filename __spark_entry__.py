@@ -186,6 +186,13 @@ _CAP_TAIL = (
     "d35_ann_lsh_golden",
     "d36_neardup_verified_golden",
     "d37_per_source_cap",
+    # round 6 session 4: d67 URL dedup, d68 cluster representative, d69
+    # inverted index join the head — the flagship shuffle joins
+    # q04/q08/q10 (r5-green, local-sweep-covered every session) are the
+    # last three demotions that keep the prefix at exactly 50
+    "q04_shuffle_join_3way",
+    "q08_range_join",
+    "q10_tpch_q1_agg",
 )
 
 
