@@ -98,3 +98,51 @@ def test_d69_index_consistent_with_recount(spark):
         assert r["postings"] == sorted(post_exp[w])[: dataops._D69_K]
         assert r["postings"] == sorted(r["postings"])
         assert len(r["postings"]) == min(r["df"], dataops._D69_K)
+
+
+def test_d70_pmi_matches_hand_recount(spark):
+    rows = dataops.QUERIES["d70_bigram_pmi"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    uni: dict = {}
+    bi: dict = {}
+    for r in docs:
+        ws = r["text"].split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    nu, nb = sum(uni.values()), sum(bi.values())
+    assert 0 < len(rows) <= dataops._D70_K
+    prev = None
+    for r in rows:
+        c = bi[(r["w1"], r["w2"])]
+        assert r["n_pair"] == c and c >= dataops._D70_MIN_C
+        ratio = (c * nu * nu) / (uni[r["w1"]] * uni[r["w2"]] * nb)
+        assert abs(r["pmi"] - round(math.log(ratio), 4)) < 5e-5
+        if prev is not None:
+            assert r["pmi"] <= prev + 1e-9  # sorted by exact ratio desc
+        prev = r["pmi"]
+
+
+def test_d71_flags_planted_degenerate_docs(spark, tmp_path):
+    rows = [
+        (0, "spam " * 49 + "spam", "en", "s0", 249),  # single-type trap
+        (1, "a b " * 25 + "a b", "en", "s0", 103),  # 2 types / 52 words: trap
+        (2, " ".join(f"w{i}" for i in range(40)), "en", "s0", 0),  # all distinct
+        (3, "x", "en", "s0", 1),  # single word, not flaggable
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in dataops.QUERIES["d71_vocab_entropy"](spark, str(tmp_path)).collect()}
+    assert out[0]["low_entropy"] == 1 and out[0]["entropy"] == 0.0
+    # 26x "a b": H = ln 2 exactly, but ln2/ln52 ~ 0.17 << tau -> trap
+    assert out[1]["low_entropy"] == 1 and abs(out[1]["entropy"] - round(math.log(2), 4)) < 5e-5
+    assert out[2]["low_entropy"] == 0 and out[2]["ttr"] == 1.0
+    assert out[3]["low_entropy"] == 0 and out[3]["n_words"] == 1
+
+
+def test_d71_entropy_bounds(spark):
+    for r in dataops.QUERIES["d71_vocab_entropy"](spark, SF01).collect():
+        assert 0.0 <= r["entropy"] <= round(math.log(r["n_words"]), 4) + 1e-9
+        assert 0.0 < r["ttr"] <= 1.0
+        assert r["n_types"] <= r["n_words"]

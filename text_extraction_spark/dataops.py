@@ -5766,3 +5766,147 @@ def d69(spark, sf):
         F.sum("c").cast("long").alias("tf"),
         F.slice(F.sort_array(F.collect_list("doc_id")), 1, _D69_K).alias("postings"),
     )
+
+
+# Collocation mining (d70): corpus-level bigram PMI — the classic
+# phrase/term-association statistic (Church & Hanks 1990) used to build
+# tokenizer merge seeds and domain lexicons. The SORT key is the exact
+# PMI ratio (pure */ IEEE arithmetic, bit-identical across engines with
+# fixed parenthesization); ln() only touches the REPORTED value, where
+# the 4 dp round absorbs libm-vs-JVM last-ulp differences.
+_D70_MIN_C = 5
+_D70_K = 50
+
+_D70_SQL = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS w FROM tok),
+ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+nu AS (SELECT count(*) AS n FROM uni),
+big AS (
+  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+  FROM tok, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2
+),
+bcnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+nb AS (SELECT count(*) AS n FROM big)
+SELECT w1, w2, CAST(b.c AS BIGINT) AS n_pair,
+       round(ln((CAST(b.c AS DOUBLE) * nu.n * nu.n)
+                / (CAST(u1.c AS DOUBLE) * u2.c * nb.n)), 4) AS pmi
+FROM bcnt b
+JOIN ucnt u1 ON u1.w = b.w1
+JOIN ucnt u2 ON u2.w = b.w2
+CROSS JOIN nu CROSS JOIN nb
+WHERE b.c >= {_D70_MIN_C}
+ORDER BY (CAST(b.c AS DOUBLE) * nu.n * nu.n)
+         / (CAST(u1.c AS DOUBLE) * u2.c * nb.n) DESC, w1, w2
+LIMIT {_D70_K}
+"""
+
+
+@q("d70_bigram_pmi", _D70_SQL)
+def d70(spark, sf):
+    """One corpus pass builds both count tables: tokens explode once
+    for unigrams, the JVM zip_with of the two shifted slices yields
+    bigram structs with no second scan of text. The unigram table is
+    tiny (vocab-sized) → both c_x/c_y lookups are broadcast joins; the
+    only real shuffle is the bigram groupBy on a uniform key. N_uni and
+    N_bi ride in as broadcast singletons. Top-K is a
+    TakeOrderedAndProject on the exact ratio (no ln in the sort key) —
+    at 100 TB the candidate set after the min-support filter is
+    vocab²-bounded, not corpus-bounded."""
+    d = t(spark, sf, "documents").select(F.split("text", " ").alias("ws"))
+    uni = d.select(F.explode("ws").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.select(F.count(F.lit(1)).alias("nu"))
+    bigrams = d.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bcnt = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _D70_MIN_C)
+    )
+    n_bi = bigrams.select(F.count(F.lit(1)).alias("nb"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    ratio = (F.col("c").cast("double") * F.col("nu") * F.col("nu")) / (
+        F.col("c1").cast("double") * F.col("c2") * F.col("nb")
+    )
+    return (
+        bcnt.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("n_pair"),
+            F.round(F.log(ratio), 4).alias("pmi"),
+            ratio.alias("_r"),
+        )
+        .orderBy(F.col("_r").desc(), "w1", "w2")
+        .limit(_D70_K)
+        .drop("_r")
+    )
+
+
+# Vocabulary-entropy scoring (d71): per-document unigram entropy,
+# normalized entropy, and type-token ratio — the cheap gibberish /
+# degenerate-repetition signal (a crawler trap emitting one word loops
+# to entropy 0; keyboard-mash gibberish maxes TTR). Complements d24
+# (Gopher n-gram fractions) with a distribution-level statistic.
+_D71_TAU = 0.5
+
+_D71_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy,
+       round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr,
+       CASE WHEN (count(*) = 1 AND sum(c) > 1)
+              OR (count(*) > 1
+                  AND round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(sum(c)), 4) < {_D71_TAU})
+            THEN 1 ELSE 0 END AS low_entropy
+FROM cnt GROUP BY doc_id
+"""
+
+
+@q("d71_vocab_entropy", _D71_SQL)
+def d71(spark, sf):
+    """Two partial-agg groupBys, both keyed on (doc_id[, word]) — the
+    entropy identity H = ln(n) − Σ c·ln(c)/n needs only sums, so the
+    map-side combine does almost all the work and no per-doc word list
+    is ever materialized. The 4 dp round absorbs float-sum ordering
+    differences between engines (the d65 rule); the low_entropy flag
+    compares the ROUNDED normalized entropy against τ so both engines
+    decide the boundary identically; a single-type doc (n_types = 1,
+    n_words > 1 — normalized entropy is 0/0 but the doc is the worst
+    crawler-trap case) is flagged unconditionally. At 100 TB:
+    embarrassingly parallel, one uniform shuffle."""
+    tok = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    ent = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    norm4 = F.round(ent / F.log(n), 4)
+    return cnt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(ent, 4).alias("entropy"),
+        F.round(F.count(F.lit(1)).cast("double") / n, 4).alias("ttr"),
+        F.when((F.count(F.lit(1)) == 1) & (n > 1), 1)
+        .when((F.count(F.lit(1)) > 1) & (norm4 < _D71_TAU), 1)
+        .otherwise(0)
+        .alias("low_entropy"),
+    )
