@@ -193,6 +193,11 @@ _CAP_TAIL = (
     "q04_shuffle_join_3way",
     "q08_range_join",
     "q10_tpch_q1_agg",
+    # round 6 session 4: d70 PMI + d71 entropy join the head — x01/x02
+    # demote (r5-green; the deeper x03/x06/x08 pipeline oracles keep the
+    # extraction plane driver-verified this round)
+    "x01_main_content_extraction",
+    "x02_tokenize_features",
 )
 
 
