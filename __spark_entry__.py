@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d47_ann_pq_golden",
             "d50_ann_ivfpq_golden",
             "d56_incremental_neardup_golden",
+            "d73_ann_sq8_golden",
         }
     )
     ordered = (
@@ -276,6 +277,9 @@ def oracle_sql() -> dict[str, str]:
     # d50 — the composed IVFPQ pipeline vs the SAME brute-force oracle
     # as d29 (probe coverage + shortlist margin make refine exact)
     out["d50_ann_ivfpq_golden"] = dataops.d29_oracle_sql()
+    # d73 — the SQ8 encode→ADC pipeline vs DuckDB brute force on the
+    # planted grid-exact store (round 6 session 4)
+    out["d73_ann_sq8_golden"] = dataops.d73_oracle_sql()
     # d56 — incremental near-dup (batch vs MinHash index) vs DuckDB
     # brute-force all-pairs Jaccard + the same keep rule, over the d30
     # planted store where candidate recall is 1.0 by construction

@@ -146,3 +146,31 @@ def test_d71_entropy_bounds(spark):
         assert 0.0 <= r["entropy"] <= round(math.log(r["n_words"]), 4) + 1e-9
         assert 0.0 < r["ttr"] <= 1.0
         assert r["n_types"] <= r["n_words"]
+
+
+def test_d72_sq8_recall_floor(spark):
+    exact3 = {
+        (r["q_id"], r["vec_id"])
+        for r in dataops._exact_top3(spark, SF01).collect()
+    }
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in dataops.QUERIES["d72_ann_sq8"](spark, SF01).collect()
+    }
+    recall = len(got & exact3) / len(exact3)
+    # int8 per-dim quantization + exact refine over a 32-candidate
+    # shortlist: near-exact by construction on the 64-dim noise store
+    assert recall >= 0.9, recall
+
+
+def test_d73_store_is_grid_exact():
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    p = f"{dataops.sq8_store_dir()}/embeddings.parquet"
+    X = np.array(pq.read_table(p).column("embedding").to_pylist())
+    mn, mx = X.min(0), X.max(0)
+    assert (mn == -1.0).all() and (mx == 1.0).all()
+    span = mx - mn
+    C = np.clip(np.rint((X - mn) / span * 255.0), 0, 255)
+    assert ((-1.0 + (C * 2.0) / 255.0) == X).all()  # dequant is bit-exact

@@ -4145,6 +4145,13 @@ def pq_refined_topk(
     stores this recovers most of the recall PQ alone loses, which is
     why production systems never serve raw-ADC rankings."""
     short = pq_topk(e, queries, q_ids, books, k=shortlist).select("q_id", "vec_id")
+    return _exact_refine(e, short, queries, q_ids, k)
+
+
+def _exact_refine(e, short, queries: np.ndarray, q_ids: list, k: int):
+    """Shared refine stage (PQ d46 / SQ8 d72): join the shortlist's ids
+    back to raw vectors (ids-only shuffle, AQE-sized equi-join), exact
+    JVM cosine, per-query top-k on (rounded cosine desc, vec_id)."""
     qdf = e.sparkSession.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in zip(q_ids, queries)],
         "q_id long, qe array<double>",
@@ -5910,3 +5917,213 @@ def d71(spark, sf):
         .otherwise(0)
         .alias("low_entropy"),
     )
+
+
+# Scalar-quantized ANN (d72/d73): the faiss SQ8 shape — per-dimension
+# uniform int8 quantization (4x smaller than raw float32, no codebook
+# training at all) scored by dequantized dot products, then the shared
+# exact refine. Completes the compression family: PQ (d46, 32x, trained
+# codebooks) for cold 10^11-vector stores; SQ8 for the hot tier where
+# recall must stay near-exact and training is unwanted.
+_SQ8_SHORTLIST = 32
+
+
+def sq8_minmax(e, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) in ONE reduce: 2·dim agg expressions
+    over element_at — no explode, no extra shuffle, the driver holds
+    2·dim doubles. At 100 TB this is the single cheapest full-scan agg
+    there is (map-side partial min/max)."""
+    row = e.agg(
+        *[F.min(F.element_at("embedding", i + 1)).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.element_at("embedding", i + 1)).alias(f"mx{i}") for i in range(dim)],
+    ).collect()[0]
+    mn = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+    mx = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+    return mn, mx
+
+
+def sq8_topk(emb, queries: np.ndarray, q_ids: list, mn: np.ndarray,
+             mx: np.ndarray, k: int = 3):
+    """ADC over int8 codes: encode the store once (map-only Arrow pass,
+    dim bytes/vector), then score every (row, query) pair from the
+    DEQUANTIZED codes — dq = mn + code·span/255, one numpy matmul per
+    Arrow batch, never a raw-vector read. The dequant expression uses
+    the same IEEE op order as the d73 planted-store constructor, so on
+    grid-exact stores ADC cosine == exact cosine bit-for-bit (before
+    the 4 dp round both engines share). One shuffle total: the
+    per-query top-k window on (cosine desc, vec_id)."""
+    from pyspark.sql.types import ArrayType as AT
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    dim = len(mn)
+    span = mx - mn
+    Q = np.asarray(queries, dtype=np.float64)
+    qn = np.sqrt((Q**2).sum(1))
+    spark = emb.sparkSession
+    b_mn = spark.sparkContext.broadcast(mn)
+    b_span = spark.sparkContext.broadcast(span)
+    b_q = spark.sparkContext.broadcast(Q)
+
+    @F.pandas_udf(AT(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.to_list(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        s = np.where(b_span.value == 0.0, 1.0, b_span.value)
+        C = np.clip(np.rint((X - b_mn.value) / s * 255.0), 0, 255).astype(np.int32)
+        return pd.Series(list(C))
+
+    @F.pandas_udf(AT(DoubleType()))
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.array(codes.to_list(), dtype=np.float64)  # (B, dim)
+        if C.size == 0:
+            return pd.Series([], dtype=object)
+        dq = b_mn.value[None, :] + (C * b_span.value[None, :]) / 255.0
+        dots = dq @ b_q.value.T  # (B, q)
+        vnorm = np.sqrt((dq**2).sum(1))
+        cos = dots / (vnorm[:, None] * qn[None, :])
+        return pd.Series(list(np.round(cos, 4)))
+
+    coded = emb.select("vec_id", encode("embedding").alias("codes"))
+    q_id_arr = F.array(*[F.lit(int(i)) for i in q_ids])
+    scored = (
+        coded.withColumn("cos", adc("codes"))
+        .select("vec_id", F.posexplode("cos").alias("qi", "cosine"))
+        .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+def sq8_refined_topk(e, queries: np.ndarray, q_ids: list, mn: np.ndarray,
+                     mx: np.ndarray, k: int = 3, shortlist: int = _SQ8_SHORTLIST):
+    """SQ8 shortlist + the shared exact refine (_exact_refine): per
+    query only `shortlist` raw vectors are ever re-read, so the raw
+    store crosses the wire as ids until the final bounded join."""
+    short = sq8_topk(e, queries, q_ids, mn, mx, k=shortlist).select("q_id", "vec_id")
+    return _exact_refine(e, short, queries, q_ids, k)
+
+
+@q("d72_ann_sq8")  # ⊘ rows-only on the noise store; d73 is the value oracle
+def d72(spark, sf):
+    """SQ8 ANN over the real embeddings table: per-dim min/max in one
+    reduce, int8 encode, ADC shortlist, exact refine — the untrained
+    compression path a hot 100-TB serving tier uses (no codebook drift,
+    re-encode is a pure map). Recall vs the d05 exact twin is gated in
+    tests/test_dataops_session4.py."""
+    e = t(spark, sf, "embeddings")
+    _n, dim, dropped = emb_stats(e)
+    if dropped:
+        e = e.filter(F.size("embedding") == dim)
+    mn, mx = sq8_minmax(e, dim)
+    qrows = (
+        e.filter(F.col("vec_id") < _RECALL_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return sq8_refined_topk(e, Q, [r["vec_id"] for r in qrows], mn, mx)
+
+
+# ---- d73: the planted store where SQ8 is EXACT (full value oracle)
+
+_SQ8G_DIM = 32
+_SQ8G_N = 300
+_SQ8G_QUERIES = 30
+_SQ8G_VERSION = "v1"
+
+
+def sq8_store_dir() -> str:
+    """Deterministic SQ8-exact embedding store: every coordinate sits
+    EXACTLY on the 256-level grid x = -1 + (c·2)/255 (same IEEE op
+    order as sq8_topk's dequant), and rows 0/1 pin codes 0/255 in every
+    dimension so the computed per-dim min/max are exactly ±1. Encode →
+    dequantize therefore reproduces the stored float64 bits, ADC cosine
+    == exact cosine, and DuckDB brute force is a full value oracle for
+    the whole SQ8 path (the d47 pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conf import cache_root
+
+    d = os.path.join(cache_root(), f"sq8_store_{_SQ8G_VERSION}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        rng = np.random.Generator(np.random.PCG64(31))
+        codes = np.vstack(
+            [
+                np.zeros((1, _SQ8G_DIM), dtype=np.int64),
+                np.full((1, _SQ8G_DIM), 255, dtype=np.int64),
+                rng.integers(0, 256, (_SQ8G_N - 2, _SQ8G_DIM)),
+            ]
+        )
+        vecs = -1.0 + (codes.astype(np.float64) * 2.0) / 255.0
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(_SQ8G_N), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+        if os.path.isdir(d) and not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix=".sq8_store_build_", dir=cache_root())
+        pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"), row_group_size=64)
+        open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def d73_oracle_sql() -> str:
+    """Lazy (embeds the fixture path): brute-force cosine per query,
+    round 4dp, rank by (cosine desc, vec_id), top-3."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum')) AS nrm
+  FROM read_parquet('{sq8_store_dir()}/embeddings.parquet')
+), sims AS (
+  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+         round(list_aggregate(list_transform(q.embedding,
+                   (x, i) -> x * b.embedding[i]), 'sum') / q.nrm / b.nrm, 4) AS cosine
+  FROM v q JOIN v b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < {_SQ8G_QUERIES}
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT q_id, vec_id, cosine FROM ranked WHERE rn <= 3
+"""
+
+
+@q("d73_ann_sq8_golden")  # oracle registered lazily (embeds store path)
+def d73(spark, sf):
+    """d72's SQ8 pipeline under a FULL value oracle: min/max reduce →
+    int8 encode → ADC-top-3 over the grid-exact planted store, where
+    DuckDB brute-forces the same per-query top-3 with identical
+    rounding/tie rules. sf_dir is ignored (own fixture, the d29/d35/d47
+    precedent)."""
+    import os
+
+    p = os.path.join(sq8_store_dir(), "embeddings.parquet")
+    e = spark.read.parquet(p)
+    mn, mx = sq8_minmax(e, _SQ8G_DIM)
+    qrows = e.filter(F.col("vec_id") < _SQ8G_QUERIES).select("vec_id", "embedding").collect()
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return sq8_topk(e, Q, [r["vec_id"] for r in qrows], mn, mx)
