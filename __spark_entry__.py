@@ -198,6 +198,10 @@ _CAP_TAIL = (
     # extraction plane driver-verified this round)
     "x01_main_content_extraction",
     "x02_tokenize_features",
+    # round 6 session 4: the d73 SQ8 golden joins the head — x06
+    # demotes (r5-green; its media-OCR path stays driver-covered via
+    # the full x03 pipeline oracle under the cap)
+    "x06_media_table_ocr",
 )
 
 
