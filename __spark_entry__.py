@@ -202,6 +202,11 @@ _CAP_TAIL = (
     # demotes (r5-green; its media-OCR path stays driver-covered via
     # the full x03 pipeline oracle under the cap)
     "x06_media_table_ocr",
+    # round 6 session 5: x09 typed table cells joins the head (it
+    # drives the SAME fused media UDF as x06/x08 plus the typed
+    # explode, so the OCR and PDF paths stay driver-value-verified
+    # through it) — x08 demotes (r5-green)
+    "x08_pdf_text_extraction",
 )
 
 
@@ -223,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "x08_pdf_text_extraction",
             "x03_extract_corpus_pipeline",
             "x06_media_table_ocr",
+            "x09_table_cells_typed",
             "d28_embedding_dedup_golden",
             "d29_ann_ivf_golden",
             "d30_dedup_pipeline_golden",
@@ -259,6 +265,9 @@ def oracle_sql() -> dict[str, str]:
     out["x08_pdf_text_extraction"] = extraction_queries.pdf_oracle_sql()
     out["x03_extract_corpus_pipeline"] = extraction_queries.x03_oracle_sql()
     out["x06_media_table_ocr"] = extraction_queries.x06_oracle_sql()
+    # x09 — OCR table text typed-exploded to a cell grid vs the same
+    # explode in DuckDB over media_golden (embeds the corpus path)
+    out["x09_table_cells_typed"] = extraction_queries.x09_oracle_sql()
     # d28 — embedding-dedup pipeline vs DuckDB brute-force + recursive-CTE
     # components over the planted near-dup store (embeds the store path)
     out["d28_embedding_dedup_golden"] = dataops.d28_oracle_sql()

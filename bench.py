@@ -77,6 +77,10 @@ HEADLINE = [
     "d53_chunk_sliding",  # round 6: narrow chunk-explode (0 shuffles)
     "d55_quality_classifier_apply",  # round 6: frozen-model gate (0 shuffles)
     "d57_token_budget_sample",  # round 6: two-stage distributed prefix sum
+    "d67_url_dedup",  # round 6 s4: canonicalize + one uniform shuffle
+    "d69_inverted_index",  # round 6 s4: two partial-agg shuffles
+    "d71_vocab_entropy",  # round 6 s4: distribution-level trap flag
+    "d72_ann_sq8",  # round 6 s4: untrained int8 ADC + shared refine
     "x01_main_content_extraction",
     "x08_pdf_text_extraction",
 ]

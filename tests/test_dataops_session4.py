@@ -174,3 +174,49 @@ def test_d73_store_is_grid_exact():
     span = mx - mn
     C = np.clip(np.rint((X - mn) / span * 255.0), 0, 255)
     assert ((-1.0 + (C * 2.0) / 255.0) == X).all()  # dequant is bit-exact
+
+
+def test_x09_cells_round_trip_to_ocr_text(spark):
+    """Reassembling x09's typed cell grid (sorted by row_idx, col_idx)
+    must reproduce x06's table_text bit-exactly for EVERY media item —
+    proves the double posexplode loses nothing and indices are dense."""
+    from text_extraction_spark import extraction_queries as xq
+
+    cells = xq.QUERIES["x09_table_cells_typed"](spark, SF)
+    rebuilt = (
+        cells.groupBy("media_ref", "row_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("col_idx", "cell"))),
+                    lambda s: s["cell"],
+                ),
+                "|",
+            ).alias("row_text")
+        )
+        .groupBy("media_ref")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("row_idx", "row_text"))),
+                    lambda s: s["row_text"],
+                ),
+                "\n",
+            ).alias("rebuilt")
+        )
+    )
+    orig = xq.QUERIES["x06_media_table_ocr"](spark, SF).filter(
+        F.col("table_text").isNotNull()
+    )
+    joined = orig.join(rebuilt, "media_ref", "full_outer")
+    bad = joined.filter(
+        F.col("table_text").isNull()
+        | F.col("rebuilt").isNull()
+        | (F.col("table_text") != F.col("rebuilt"))
+    ).count()
+    assert bad == 0
+    # typed column: non-null iff the cell is a pure (signed) digit run
+    typed = cells.filter(
+        F.col("cell_int").isNotNull() != F.col("cell").rlike("^-?[0-9]+$")
+    ).count()
+    assert typed == 0

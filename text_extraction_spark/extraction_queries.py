@@ -223,6 +223,70 @@ def pdf_oracle_sql() -> str:
     )
 
 
+@q("x09_table_cells_typed")  # oracle registered lazily (media_golden parquet)
+def x09(spark, sf):
+    """A12–A13 typed table materialization: the real fused media UDF
+    (OCR path) over the WHOLE media store, then a JVM-side double
+    posexplode of the row-major table text into a typed cell grid
+    (media_ref, row_idx, col_idx, cell, cell_int). The int cast is
+    regex-gated (`^-?[0-9]+$`) so both engines type exactly the same
+    cells. VALUE-oracled: DuckDB performs the identical explode over
+    media_golden.parquet — the single-process oracle's per-media
+    outputs — so a hash match proves OCR + grid assembly + cell typing
+    are bit-equal end-to-end. Scale shape: the explode is pure
+    whole-stage-codegen string work after the one Arrow UDF pass; no
+    extra shuffle is introduced (narrow explode), so the op inherits
+    the media path's scan partitioning at any corpus size."""
+    from .pipeline import extract_media_udf
+
+    m = spark.read.parquet(os.path.join(corpus_dir(), "media.parquet"))
+    tt = m.select(
+        "media_ref",
+        extract_media_udf("width", "height", "fmt", "data").alias("tt"),
+    ).filter(F.col("tt").isNotNull())
+    rows = tt.select(
+        "media_ref",
+        F.posexplode(F.split("tt", "\n")).alias("row_idx", "row_text"),
+    )
+    cells = rows.select(
+        "media_ref",
+        "row_idx",
+        F.posexplode(F.split("row_text", "\\|")).alias("col_idx", "cell"),
+    )
+    return cells.select(
+        "media_ref",
+        "row_idx",
+        "col_idx",
+        "cell",
+        F.when(F.col("cell").rlike("^-?[0-9]+$"), F.col("cell").cast("int")).alias(
+            "cell_int"
+        ),
+    )
+
+
+def x09_oracle_sql() -> str:
+    """Lazy DuckDB twin for x09 (embeds the generated corpus path):
+    the same two-level explode + regex-gated int typing over the
+    single-process oracle's media_golden.parquet."""
+    d = corpus_dir()
+    return f"""
+WITH g AS (
+  SELECT media_ref, string_split(table_text, chr(10)) AS rws
+  FROM read_parquet('{d}/media_golden.parquet')
+  WHERE table_text IS NOT NULL
+),
+r AS (
+  SELECT media_ref, CAST(u.i AS INT) AS row_idx,
+         string_split(rws[u.i + 1], '|') AS cls
+  FROM g, UNNEST(range(0, len(rws))) AS u(i)
+)
+SELECT media_ref, row_idx, CAST(v.j AS INT) AS col_idx,
+       cls[v.j + 1] AS cell,
+       CASE WHEN regexp_full_match(cls[v.j + 1], '-?[0-9]+')
+            THEN CAST(cls[v.j + 1] AS INT) END AS cell_int
+FROM r, UNNEST(range(0, len(cls))) AS v(j)"""
+
+
 @q("x07_streaming_extraction")  # ⊘ rows-only; golden equality in tests
 def x07(spark, sf):
     """Incremental extraction: corpus documents replayed as a file
