@@ -207,6 +207,13 @@ _CAP_TAIL = (
     # explode, so the OCR and PDF paths stay driver-value-verified
     # through it) — x08 demotes (r5-green)
     "x08_pdf_text_extraction",
+    # round 6 session 5: the rotation budget is exhausted (every
+    # remaining under-cap entry is either r4-promoted this round or a
+    # first-time r6 entry), so the two NEW oracle-backed ops start in
+    # the tail as the round-7 promotion queue — locally sweep-verified
+    # now, first driver verification next round
+    "d74_allpairs_exact_join",
+    "x10_media_context_pairs",
 )
 
 
@@ -229,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "x03_extract_corpus_pipeline",
             "x06_media_table_ocr",
             "x09_table_cells_typed",
+            "x10_media_context_pairs",
             "d28_embedding_dedup_golden",
             "d29_ann_ivf_golden",
             "d30_dedup_pipeline_golden",
@@ -268,6 +276,9 @@ def oracle_sql() -> dict[str, str]:
     # x09 — OCR table text typed-exploded to a cell grid vs the same
     # explode in DuckDB over media_golden (embeds the corpus path)
     out["x09_table_cells_typed"] = extraction_queries.x09_oracle_sql()
+    # x10 — media-context pairing over the distributed pipeline output
+    # vs the same windows over golden.parquet (embeds the corpus path)
+    out["x10_media_context_pairs"] = extraction_queries.x10_oracle_sql()
     # d28 — embedding-dedup pipeline vs DuckDB brute-force + recursive-CTE
     # components over the planted near-dup store (embeds the store path)
     out["d28_embedding_dedup_golden"] = dataops.d28_oracle_sql()

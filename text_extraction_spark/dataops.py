@@ -6127,3 +6127,128 @@ def d73(spark, sf):
     qrows.sort(key=lambda r: r["vec_id"])
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     return sq8_topk(e, Q, [r["vec_id"] for r in qrows], mn, mx)
+
+
+# ------------------------------------------------------ session-5 ops
+# d74: EXACT all-pairs similarity self-join via prefix filtering — the
+# AllPairs/PPJoin family (Bayardo et al., WWW 2007), the exact
+# counterpart to the d02/d13 MinHash path. Sets are word-3-gram
+# shingles (unigrams are non-discriminative in this word-salad
+# testdata: 73% of all pairs clear tau=0.5 on word sets, vs ~25 true
+# near-dup pairs on shingles). Token order = global (df, token)
+# ascending, so every document indexes only its floor(n/2)+1 rarest
+# shingles; two sets with J >= 0.5 share >= ceil(n/2) tokens, and by
+# pigeonhole their globally-earliest common token lies inside BOTH
+# prefixes — the equi-join on prefix tokens is therefore lossless
+# (exact, not approximate). tau is applied as INTEGER arithmetic
+# (3*inter >= na+nb  <=>  J >= 1/2) in both engines — no float
+# boundary hazard. Scale shape: the only shuffles are the df groupBy,
+# the per-doc sort groupBy, and the prefix equi-join, all on uniform
+# token/doc hashes; ids-only ride through the candidate join and the
+# shingle arrays re-attach by doc_id equi-join AFTER pair dedup (the
+# d06 rule). At 100 TB the prefix index is the standard web-dedup
+# build: rarest-first ordering keeps hot-token fan-out bounded because
+# high-df tokens are exactly the ones prefixes exclude.
+_D74_TAU_NUM, _D74_TAU_DEN = 1, 2  # tau = 1/2, applied as integers
+
+_D74_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+t AS (SELECT doc_id,
+             list_distinct([array_to_string(ws[i+1:i+3], ' ')
+                            FOR i IN range(0, greatest(len(ws)-2, 0))]) AS toks
+      FROM w),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks)) AS i,
+             len(a.toks) AS na, len(b.toks) AS nb
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(a.toks) > 0 AND len(b.toks) > 0)
+SELECT id_a, id_b, CAST(i AS INT) AS inter,
+       ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jac
+FROM p WHERE 3 * i >= na + nb
+"""
+
+
+def _d74_shingles(df):
+    """doc_id -> distinct word-3-gram shingle array (JVM-only).
+    sequence(0, n-3) would be DESCENDING for n < 3 — guard with when."""
+    ws = F.split("text", " ")
+    sh = F.when(
+        F.size(ws) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 3),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", sh.alias("toks")).filter(F.size("toks") > 0)
+
+
+@q("d74_allpairs_exact_join", _D74_SQL)
+def d74(spark, sf):
+    docs = _d74_shingles(t(spark, sf, "documents"))
+    # global df per shingle: one partial-agg shuffle on the token hash
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    df_tbl = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    # per-doc tokens sorted rarest-first by the total order (df, tok)
+    sorted_docs = (
+        tok.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+    )
+    # prefix = first n - ceil(tau*n) + 1 = floor(n/2) + 1 tokens
+    prefix = sorted_docs.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.slice(
+                "toks",
+                1,
+                F.col("n")
+                - F.ceil(F.col("n") * _D74_TAU_NUM / _D74_TAU_DEN).cast("int")
+                + 1,
+            )
+        ).alias("tok"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length prune: J >= 1/2 needs 2*min(na,nb) >= max(na,nb)
+            & (2 * F.least("a.n", "b.n") >= F.greatest("a.n", "b.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # re-attach shingle arrays AFTER pair dedup (ids-only shuffles)
+    sa = sorted_docs.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"), F.col("n").alias("na")
+    )
+    sb = sorted_docs.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .filter(3 * F.col("inter") >= F.col("na") + F.col("nb"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+        ).alias("jac"),
+    )

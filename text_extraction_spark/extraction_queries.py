@@ -287,6 +287,73 @@ SELECT media_ref, row_idx, CAST(v.j AS INT) AS col_idx,
 FROM r, UNNEST(range(0, len(cls))) AS v(j)"""
 
 
+@q("x10_media_context_pairs")  # oracle registered lazily (golden parquet)
+def x10(spark, sf):
+    """Interleaved caption mining (the image-text-pair step of a
+    multimodal training-data pipeline): for every media span in the
+    DISTRIBUTED pipeline's extracted output, attach the nearest
+    preceding and following text spans via two ignore-null window
+    frames over the span order. The oracle runs the identical window
+    over golden.parquet, so a hash match proves both the extraction
+    parity AND the pairing logic. Scale shape: one posexplode + one
+    window partitioned by doc_id (spans arrays are small, docs are
+    many — the window key is the uniform doc hash; no global sort)."""
+    from pyspark.sql import Window
+
+    out = _run_pipeline(spark)
+    e = spark.read.parquet(os.path.join(out, "extracted"))
+    s = e.select("doc_id", F.posexplode("spans").alias("i", "sp")).select(
+        "doc_id",
+        "i",
+        F.col("sp.kind").alias("kind"),
+        F.col("sp.text").alias("text"),
+        F.col("sp.media_ref").alias("media_ref"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    return (
+        s.withColumn(
+            "before_text",
+            F.last(txt, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "after_text",
+            F.first(txt, ignorenulls=True).over(
+                w.rowsBetween(1, Window.unboundedFollowing)
+            ),
+        )
+        .filter(F.col("kind") == "media")
+        .select("doc_id", "media_ref", "before_text", "after_text")
+    )
+
+
+def x10_oracle_sql() -> str:
+    """Lazy DuckDB twin for x10 (embeds the generated corpus path):
+    the same ignore-null context windows over the single-process
+    oracle's golden.parquet span sequences."""
+    d = corpus_dir()
+    return f"""
+WITH g AS (SELECT doc_id, spans FROM read_parquet('{d}/golden.parquet')),
+s AS (SELECT doc_id, CAST(u.i AS INT) AS i,
+             spans[u.i+1].kind AS kind, spans[u.i+1].text AS text,
+             spans[u.i+1].media_ref AS media_ref
+      FROM g, UNNEST(range(0, len(spans))) AS u(i)),
+w AS (SELECT *,
+        last_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
+          OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS before_text,
+        first_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
+          OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS after_text
+      FROM s)
+SELECT doc_id, media_ref, before_text, after_text FROM w
+WHERE kind = 'media'"""
+
+
 @q("x07_streaming_extraction")  # ⊘ rows-only; golden equality in tests
 def x07(spark, sf):
     """Incremental extraction: corpus documents replayed as a file
