@@ -83,6 +83,7 @@ HEADLINE = [
     "d72_ann_sq8",  # round 6 s4: untrained int8 ADC + shared refine
     "x01_main_content_extraction",
     "x08_pdf_text_extraction",
+    "x09_table_cells_typed",  # round 6 s5: OCR grid typed explode
 ]
 
 
@@ -248,7 +249,13 @@ def main() -> None:
     ):
         from text_extraction_spark.scaledata import sf1_dir
 
-        sf1_names = [n for n in HEADLINE if n != "x08_pdf_text_extraction"]
+        # x08/x09 excluded: they read their own fixed corpus fixture,
+        # not sf_dir, so a linearity ratio would be meaningless
+        sf1_names = [
+            n
+            for n in HEADLINE
+            if n not in ("x08_pdf_text_extraction", "x09_table_cells_typed")
+        ]
         t_sf1 = _time_queries(sf1_dir(), sf1_names)
         sf1_block = {
             "queries": t_sf1,

@@ -6216,6 +6216,14 @@ def d74(spark, sf):
             )
         ).alias("tok"),
     )
+    # Known lossless prune, intentionally NOT applied: df=1 tokens can
+    # only self-match (same-doc pairs are excluded), so on a mostly-
+    # unique-shingle web corpus a `df >= 2` semi-join before the self-
+    # join collapses the index to the shared-content sliver. On THIS
+    # testdata 99.2% of shingle occurrences are df>=2 (word-salad
+    # vocabulary), so the extra pass measurably hurts (sf1 94.6 ->
+    # 128 s) and buys nothing — flip it on for real-crawl shingle
+    # distributions.
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
