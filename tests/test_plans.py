@@ -416,3 +416,45 @@ def test_bpe_wordcount_takeordered_single_scan(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_d74_prefix_join_is_hash_join_ids_only(spark):
+    """The AllPairs candidate join must be a shuffle/broadcast HASH join
+    on the prefix token (never a cartesian/nested-loop product), and
+    the shingle ARRAYS must not ride through the candidate Exchange —
+    they re-attach by doc_id equi-join after pair dedup."""
+    from text_extraction_spark import dataops
+
+    df = dataops.QUERIES["d74_allpairs_exact_join"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_x09_explode_adds_no_shuffle(spark):
+    """x09's typed cell explode is narrow: exactly as many Exchanges as
+    the underlying x06 media path (zero added by the double posexplode
+    + typing)."""
+    from text_extraction_spark import extraction_queries as xq
+
+    base = _plan(xq.QUERIES["x06_media_table_ocr"](spark, SF))
+    cells = _plan(xq.QUERIES["x09_table_cells_typed"](spark, SF))
+    assert cells.count("Exchange") == base.count("Exchange")
+
+
+def test_x10_single_window_partitioned_by_doc(spark):
+    """x10's context pairing is one posexplode + window(s) partitioned
+    by doc_id — no global sort (every Sort in the plan is the window's
+    per-partition sort), no Python stage beyond the pipeline read."""
+    from text_extraction_spark import extraction_queries as xq
+
+    df = xq.QUERIES["x10_media_context_pairs"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("windowspecdefinition(doc_id") == 2
+    assert "Sort [doc_id" in plan
+    # executedPlan prints sorts as `Sort [cols], <global>, 0` — none
+    # may be global
+    assert "], true, 0" not in plan
