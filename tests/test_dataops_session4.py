@@ -217,6 +217,6 @@ def test_x09_cells_round_trip_to_ocr_text(spark):
     assert bad == 0
     # typed column: non-null iff the cell is a pure (signed) digit run
     typed = cells.filter(
-        F.col("cell_int").isNotNull() != F.col("cell").rlike("^-?[0-9]+$")
+        F.col("cell_int").isNotNull() != F.col("cell").rlike("^-?[0-9]{1,18}$")
     ).count()
     assert typed == 0

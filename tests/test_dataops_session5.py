@@ -34,31 +34,14 @@ def test_d74_finds_planted_near_dup_pair(spark):
 
 
 def test_d74_prefix_filter_prunes_candidates(spark):
-    """The candidate equi-join must examine far fewer pairs than n^2/2 —
-    otherwise the op is a disguised cross join."""
+    """The PRODUCTION prefix index (dataops._d74_index) must drive a
+    candidate join that examines far fewer pairs than n^2/2 — otherwise
+    the op is a disguised cross join."""
     docs = dataops._d74_shingles(
         spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     )
     n = docs.count()
-    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
-    df_tbl = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    sorted_docs = (
-        tok.join(df_tbl, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tok"))),
-                lambda s: s["tok"],
-            ).alias("toks")
-        )
-        .withColumn("n", F.size("toks"))
-    )
-    prefix = sorted_docs.select(
-        "doc_id",
-        F.explode(
-            F.slice("toks", 1, F.col("n") - F.ceil(F.col("n") / 2).cast("int") + 1)
-        ).alias("tok"),
-    )
+    _, prefix = dataops._d74_index(docs)
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(

@@ -6184,13 +6184,15 @@ def _d74_shingles(df):
     return df.select("doc_id", sh.alias("toks")).filter(F.size("toks") > 0)
 
 
-@q("d74_allpairs_exact_join", _D74_SQL)
-def d74(spark, sf):
-    docs = _d74_shingles(t(spark, sf, "documents"))
+def _d74_index(docs):
+    """(sorted_docs, prefix) for the AllPairs join: per-doc shingle
+    arrays sorted rarest-first by the global (df, token) total order,
+    and the exploded n - ceil(tau*n) + 1 = floor(n/2) + 1 prefix index.
+    Shared by the op and by the prune-efficiency test so the pinned
+    property exercises the PRODUCTION prefix construction."""
     # global df per shingle: one partial-agg shuffle on the token hash
     tok = docs.select("doc_id", F.explode("toks").alias("tok"))
     df_tbl = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    # per-doc tokens sorted rarest-first by the total order (df, tok)
     sorted_docs = (
         tok.join(df_tbl, "tok")
         .groupBy("doc_id")
@@ -6202,7 +6204,6 @@ def d74(spark, sf):
         )
         .withColumn("n", F.size("toks"))
     )
-    # prefix = first n - ceil(tau*n) + 1 = floor(n/2) + 1 tokens
     prefix = sorted_docs.select(
         "doc_id",
         "n",
@@ -6216,6 +6217,13 @@ def d74(spark, sf):
             )
         ).alias("tok"),
     )
+    return sorted_docs, prefix
+
+
+@q("d74_allpairs_exact_join", _D74_SQL)
+def d74(spark, sf):
+    docs = _d74_shingles(t(spark, sf, "documents"))
+    sorted_docs, prefix = _d74_index(docs)
     # Known lossless prune, intentionally NOT applied: df=1 tokens can
     # only self-match (same-doc pairs are excluded), so on a mostly-
     # unique-shingle web corpus a `df >= 2` semi-join before the self-

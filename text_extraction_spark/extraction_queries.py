@@ -258,9 +258,12 @@ def x09(spark, sf):
         "row_idx",
         "col_idx",
         "cell",
-        F.when(F.col("cell").rlike("^-?[0-9]+$"), F.col("cell").cast("int")).alias(
-            "cell_int"
-        ),
+        # bounded regex + BIGINT keep both engines divergence-free for
+        # any digit run the fixture could ever emit (Spark cast would
+        # silently null on overflow where DuckDB hard-errors)
+        F.when(
+            F.col("cell").rlike("^-?[0-9]{1,18}$"), F.col("cell").cast("long")
+        ).alias("cell_int"),
     )
 
 
@@ -282,8 +285,8 @@ r AS (
 )
 SELECT media_ref, row_idx, CAST(v.j AS INT) AS col_idx,
        cls[v.j + 1] AS cell,
-       CASE WHEN regexp_full_match(cls[v.j + 1], '-?[0-9]+')
-            THEN CAST(cls[v.j + 1] AS INT) END AS cell_int
+       CASE WHEN regexp_full_match(cls[v.j + 1], '-?[0-9]{1,18}')
+            THEN CAST(cls[v.j + 1] AS BIGINT) END AS cell_int
 FROM r, UNNEST(range(0, len(cls))) AS v(j)"""
 
 

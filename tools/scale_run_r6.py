@@ -95,14 +95,14 @@ def _spark(shuffle: int = 128):
     return s
 
 
-def run_ivf2() -> None:
+def run_ivf2(copies: int = 256, label: str = "d15/ivf2 two-level") -> None:
     import numpy as np
     from pyspark.sql import functions as F
 
     from text_extraction_spark import dataops as D
 
     spark = _spark()
-    store = big_embeddings()
+    store = big_embeddings(copies=copies)
     e = spark.read.parquet(os.path.join(store, "embeddings.parquet"))
     stats = D.emb_stats(e)
     assert stats[0] > D._IVF2_THRESHOLD, stats
@@ -136,7 +136,7 @@ def run_ivf2() -> None:
     sf1_point = 22.3
     lin = wall / (stats[0] / 20_000 * sf1_point)
     print(json.dumps({
-        "op": "d15/ivf2 two-level",
+        "op": label,
         "n_vecs": stats[0],
         "wall_s": round(wall, 1),
         "linearity_vs_sf1_flat": round(lin, 2),
