@@ -285,7 +285,7 @@ r AS (
 )
 SELECT media_ref, row_idx, CAST(v.j AS INT) AS col_idx,
        cls[v.j + 1] AS cell,
-       CASE WHEN regexp_full_match(cls[v.j + 1], '-?[0-9]{1,18}')
+       CASE WHEN regexp_full_match(cls[v.j + 1], '-?[0-9]{{1,18}}')
             THEN CAST(cls[v.j + 1] AS BIGINT) END AS cell_int
 FROM r, UNNEST(range(0, len(cls))) AS v(j)"""
 

@@ -46,10 +46,16 @@ def main() -> int:
     oracles = entry.oracle_sql()
     con = duckdb_con(sf)
     n_fail = 0
+    n_checked = 0
+    matched_args: set[str] = set()
     t0 = time.monotonic()
     for name, fn in qs.items():
-        if args and name not in args:
-            continue
+        if args:
+            hits = [a for a in args if name == a or name.startswith(a)]
+            if not hits:
+                continue
+            matched_args.update(hits)
+        n_checked += 1
         try:
             if name in oracles:
                 r = compare(fn(spark, sf), con, oracles[name])
@@ -64,8 +70,16 @@ def main() -> int:
             print(f"FAIL {name}: {json.dumps(r, default=str)[:400]}")
         else:
             print(f"ok   {name}" + ("  (rows-only)" if r.get("rows_only") else ""))
+    # A name arg that matched NOTHING is an error, not a silent pass —
+    # the old exact-match filter printed "N entries, 0 failures" for a
+    # typo'd or prefix name while checking zero queries (found round 6
+    # session 5: a broken x09 oracle sailed through such a run).
+    unmatched = [a for a in args if a not in matched_args]
+    if unmatched:
+        print(f"error: no query matches name(s) {unmatched}", file=sys.stderr)
+        return 2
     print(
-        f"done: {len(qs) if not args else len(args)} entries, {n_fail} failures, "
+        f"done: {n_checked} entries checked, {n_fail} failures, "
         f"{time.monotonic() - t0:.1f}s, oracle-backed={len(oracles)}"
     )
     return 1 if n_fail else 0
