@@ -364,17 +364,25 @@ def test_packing_accounting_single_source_shuffle(spark):
 
 
 def test_substring_dedup_all_jvm_no_broadcast_dup_set(spark):
-    """d44 (round 6): the dup-gram set scales with duplicated CONTENT
-    (not with the benchmark/boilerplate head), so it must NOT be
-    hinted broadcast — the hit join rides the same uniform md5 hash
-    as the frequency agg (AQE may still pick broadcast at tiny SF) —
-    and the whole op stays JVM-side: no Python eval, no cartesian."""
+    """d44 (round 6; reshaped round 7): the dup-gram set scales with
+    duplicated CONTENT (not with the benchmark/boilerplate head), so it
+    must NOT be hinted broadcast — AQE may still pick broadcast at tiny
+    SF — and the whole op stays JVM-side: no Python eval, no cartesian.
+    Round 7: covered positions aggregate to a per-doc SET and docs are
+    rebuilt by an array filter over the projected split — the corpus
+    word stream is never exploded or shuffled (the old shape paid a
+    (doc_id, widx) left-anti shuffle plus a collect_list+sort reassembly
+    shuffle over every word in the corpus)."""
     from text_extraction_spark import dataops
 
     plan = _plan(dataops.QUERIES["d44_substring_dedup"](spark, SF))
     assert "EvalPython" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
-    assert "LeftAnti" in plan  # covered-position removal
+    assert "collect_set" in plan  # per-doc covered-index set
+    # the rebuild is a map-side array filter — the full word stream
+    # never rides posexplode into a shuffle (one posexplode: the grams)
+    assert plan.count("posexplode") <= 2  # gram stream only (dup-agg + hit-join)
+    assert "LeftOuter" in plan  # cov set re-attached to the doc list
 
 
 def test_pq_paths_ids_only_shuffles(spark):

@@ -541,7 +541,37 @@ def _cosine(ca, cb):
     return dot / norm(ca) / norm(cb)
 
 
-def _hyperplane_id_pairs(emb):
+def _norm_col(c):
+    """_cosine's norm sub-expression alone (sqrt of the 0.0-seeded
+    left fold of squared elements) — attached ONCE per vector in a
+    projection so candidate scoring stops recomputing both norms per
+    pair. (A fixed-dim expansion to a 64-term arithmetic chain was
+    measured 2-4× SLOWER than this interpreted fold — the chain blows
+    past codegen's method limits — so the fold stays.)"""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _cosine_pre(ca, cb, na, nb):
+    """_cosine with the per-vector norms precomputed via _norm_col:
+    the same zip_with/aggregate dot fold and the same dot/na/nb
+    division order, so every double is bit-identical to _cosine —
+    only the redundant per-pair norm recomputation (measured ~2/3 of
+    the interpreted per-pair work) is gone."""
+    dot = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / na / nb
+
+
+def _hyperplane_id_pairs(emb, stats: tuple[int, int, int] | None = None):
     """(vec_id, embedding) → distinct undirected candidate id pairs
     (ua < ub) from the multi-table hyperplane buckets. IDS ONLY ride the
     bucket shuffle (round-4 fix — VERDICT r3 #3: embeddings previously
@@ -564,7 +594,7 @@ def _hyperplane_id_pairs(emb):
     # n sizes the per-table bucket space (round 5): constant mean
     # occupancy at any n, so candidate volume stays
     # O(n·occupancy·tables) instead of saturating at n·cap·tables
-    n_rows, dim, dropped = emb_stats(emb)
+    n_rows, dim, dropped = emb_stats(emb) if stats is None else stats
     if dropped:
         warnings.warn(
             f"hyperplane ann: {dropped} rows dropped (embedding dim != {dim})",
@@ -607,12 +637,29 @@ def hyperplane_ann(emb):
     are emitted for the per-query top-3 — half the cosine work of the
     old per-direction join and no duplicate-hit groupBy."""
     pairs = _hyperplane_id_pairs(emb)
-    ea = emb.select(F.col("vec_id").alias("ua"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("ub"), F.col("embedding").alias("eb"))
+    # norms attached ONCE per vector on the slim join-back sides; the
+    # per-pair cosine reuses them instead of recomputing per pair
+    # (bit-identical to _cosine — see _cosine_pre)
+    ea = emb.select(
+        F.col("vec_id").alias("ua"),
+        F.col("embedding").alias("ea"),
+        _norm_col(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("ub"),
+        F.col("embedding").alias("eb"),
+        _norm_col(F.col("embedding")).alias("nb"),
+    )
     scored = (
         pairs.join(ea, "ua")
         .join(eb, "ub")
-        .select("ua", "ub", F.round(_cosine(F.col("ea"), F.col("eb")), 4).alias("cosine"))
+        .select(
+            "ua",
+            "ub",
+            F.round(
+                _cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
+            ).alias("cosine"),
+        )
     )
     directed = scored.select(
         F.explode(
@@ -793,13 +840,19 @@ def ivf_topk(e, C: np.ndarray, stats: tuple[int, int, int] | None = None):
             f"IVF ANN: {dropped} rows dropped (embedding dim != centroid dim)",
             stacklevel=2,
         )
+    # norms ride the per-vector rows (computed once under the Generate,
+    # not once per candidate pair — see _cosine_pre)
     data = e.select(
-        "vec_id", "embedding", F.explode(home("embedding")).alias("cell")
+        "vec_id",
+        "embedding",
+        _norm_col(F.col("embedding")).alias("nv"),
+        F.explode(home("embedding")).alias("cell"),
     ).filter(F.col("cell") >= 0)
     qs = (
         e.select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qe"),
+            _norm_col(F.col("embedding")).alias("nq"),
             F.explode(probe("embedding")).alias("cell"),
         )
         .filter(F.col("cell") >= 0)
@@ -815,7 +868,9 @@ def ivf_topk(e, C: np.ndarray, stats: tuple[int, int, int] | None = None):
     j = qs.join(data, "cell").filter(F.col("vec_id") != F.col("q_id"))
     sims = j.select(
         "q_id", "vec_id",
-        F.round(_cosine(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+        F.round(
+            _cosine_pre(F.col("embedding"), F.col("qe"), F.col("nv"), F.col("nq")), 4
+        ).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
@@ -997,17 +1052,25 @@ def ivf2_topk(
     qs = (
         _ivf2_assign(q_top, subc, sub_probe)
         .select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "leaf"
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            _norm_col(F.col("embedding")).alias("nq"),
+            "leaf",
         )
         # co-partition by leaf — the flat path's round-5 lesson: the
         # exact-cosine projection fuses into this join's stage, so its
         # partitioning must be the join key, not the UDF output's
         .repartition(F.col("leaf"))
     )
-    j = qs.join(data, "leaf").filter(F.col("vec_id") != F.col("q_id"))
+    dd = data.select(
+        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("nv"), "leaf"
+    )
+    j = qs.join(dd, "leaf").filter(F.col("vec_id") != F.col("q_id"))
     sims = j.select(
         "q_id", "vec_id",
-        F.round(_cosine(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+        F.round(
+            _cosine_pre(F.col("embedding"), F.col("qe"), F.col("nv"), F.col("nq")), 4
+        ).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
@@ -1479,8 +1542,11 @@ def d17(spark, sf):
     {12}-word paragraphs JVM-side (sequence+transform+slice — no
     Python), hash, single groupBy keeping the smallest doc_id. One
     shuffle on the uniform hash key; never a self-join."""
-    d = t(spark, sf, "documents")
-    words = F.split("text", " ")
+    # split is PROJECTED once per row: a split captured inside the
+    # (interpreted) transform lambda is re-evaluated by every slice
+    # call — O(words²) per doc (the d41 hoist; values unchanged)
+    d = t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    words = F.col("w")
     n_chunks = F.greatest(
         F.ceil(F.size(words) / F.lit(float(_PARA_WORDS))).cast("long"), F.lit(1).cast("long")
     )
@@ -3221,8 +3287,11 @@ def d39(spark, sf):
     map-side combine on (hash, doc) partial distinct). Reassembly is
     ONE shuffle by doc_id (uniform) with an array_sort on collected
     (pos, para) structs — the same sort_array pattern as A15."""
-    d = t(spark, sf, "documents")
-    words = F.split("text", " ")
+    # split PROJECTED once per row (the d41 hoist): a split captured in
+    # the interpreted transform lambda would re-split the doc per
+    # paragraph — O(words²) per doc. Values unchanged.
+    d = t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    words = F.col("w")
     n_paras = F.greatest(
         F.ceil(F.size(words) / F.lit(float(_PARA_WORDS))).cast("long"),
         F.lit(1).cast("long"),
@@ -3506,8 +3575,15 @@ def d41(spark, sf):
     totals are broadcast scalars. The per-doc reduce is a weighted avg
     over <= 256 bucket rows per doc — no shuffle wider than the
     (doc, bucket) partial agg, no Python anywhere."""
-    d = t(spark, sf, "documents")
-    words = F.split("text", " ")
+    # The split is PROJECTED once per row before the bigram transform:
+    # higher-order functions are interpreted (no codegen), so an inline
+    # split(text) captured in the lambda would be re-evaluated by every
+    # element_at call — O(words²) splitting per document (measured 28 s
+    # → ~3 s at sf1 from this one hoist). Values are unchanged.
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    words = F.col("w")
     bigrams = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -3705,39 +3781,33 @@ def d44(spark, sf):
         F.posexplode(_word_ngrams(F.col("w"), _D44_N)).alias("pos", "g"),
     ).select("doc_id", (F.col("pos") + 1).alias("i"), F.md5("g").alias("h"))
     dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
+    # covered word indices per doc as a SET column — the hit stream is
+    # proportional to duplicated content; the old shape instead exploded
+    # and shuffled the ENTIRE corpus word stream twice (left_anti by
+    # (doc_id, widx), then collect_list + per-doc array_sort by doc_id)
     cov = (
         grams.join(dup.select("h"), "h")
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("i"), F.col("i") + (_D44_N - 1))).alias("widx"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("widx").alias("cov"))
     )
-    wp = words.select("doc_id", F.posexplode("w").alias("pos", "word")).select(
-        "doc_id", (F.col("pos") + 1).alias("widx"), "word"
+    # rebuild map-side from the words array: original order is free, and
+    # docs are ≤ a few hundred words so the per-word array_contains over
+    # the covered-index set is trivially bounded
+    kept_arr = F.when(F.col("cov").isNull(), F.col("w")).otherwise(
+        F.filter("w", lambda x, i: ~F.array_contains("cov", i + 1))
     )
-    kept = wp.join(cov, ["doc_id", "widx"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("widx", "word"))),
-                lambda s: s.word,
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    n_words = F.size(F.split("text", " ")).cast("long")
     return (
-        d.select("doc_id", n_words.alias("n_words"))
-        .join(agg, "doc_id", "left")
+        words.join(cov, "doc_id", "left")
+        .select("doc_id", kept_arr.alias("kept"), F.size("w").cast("long").alias("n_words"))
         .select(
             "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.array_join("kept", " ").alias("clean_text"),
             "n_words",
-            (F.col("n_words") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
-                "n_removed"
-            ),
+            (F.col("n_words") - F.size("kept").cast("long")).alias("n_removed"),
         )
     )
 
@@ -6170,8 +6240,11 @@ FROM p WHERE 3 * i >= na + nb
 
 def _d74_shingles(df):
     """doc_id -> distinct word-3-gram shingle array (JVM-only).
-    sequence(0, n-3) would be DESCENDING for n < 3 — guard with when."""
-    ws = F.split("text", " ")
+    sequence(0, n-3) would be DESCENDING for n < 3 — guard with when.
+    The split is PROJECTED first (the d41 hoist): captured inline in
+    the interpreted lambda it would re-split per shingle — O(words²)."""
+    dw = df.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
     sh = F.when(
         F.size(ws) >= 3,
         F.array_distinct(
@@ -6181,7 +6254,7 @@ def _d74_shingles(df):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select("doc_id", sh.alias("toks")).filter(F.size("toks") > 0)
+    return dw.select("doc_id", sh.alias("toks")).filter(F.size("toks") > 0)
 
 
 def _d74_index(docs):

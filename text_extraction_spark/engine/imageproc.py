@@ -197,8 +197,21 @@ def adaptive_threshold(gray: np.ndarray) -> np.ndarray:
     half = THRESH_WINDOW // 2
     w_sq = THRESH_WINDOW * THRESH_WINDOW
     # 'reflect' (mirror about the border pixel) — edge replication would
-    # stack a dark border RULING 7× into its own window and erode it
-    p = np.pad(gray, half, mode="reflect")
+    # stack a dark border RULING 7× into its own window and erode it.
+    # Hand-rolled single-reflection pad (one allocation + four strided
+    # copies) — np.pad's generic path was ~40% of this function's time;
+    # images smaller than the window fall back to np.pad, which handles
+    # the repeated-reflection case.
+    h, w = gray.shape
+    if h > half + 1 and w > half + 1:
+        p = np.empty((h + 2 * half, w + 2 * half), dtype=gray.dtype)
+        p[half : half + h, half : half + w] = gray
+        p[:half, half : half + w] = gray[half:0:-1, :]
+        p[half + h :, half : half + w] = gray[h - 2 : h - 2 - half : -1, :]
+        p[:, :half] = p[:, 2 * half : half : -1]
+        p[:, half + w :] = p[:, half + w - 2 : w - 2 : -1]
+    else:
+        p = np.pad(gray, half, mode="reflect")
     ii = integral_image(p)
     k = THRESH_WINDOW
     s = ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k]
@@ -407,16 +420,21 @@ def rotate_mask_nn(mask: np.ndarray, angle_deg: float) -> np.ndarray:
     c = int(round(np.cos(a) * _FIX))
     s = int(round(np.sin(a) * _FIX))
     cy, cx = (h - 1) // 2, (w - 1) // 2
-    ty, tx = np.mgrid[0:h, 0:w]
-    dy, dx = ty - cy, tx - cx
-    # inverse rotation: source = R(-a) · target
-    sx = (c * dx + s * dy + _FIX // 2) >> 16
-    sy = (-s * dx + c * dy + _FIX // 2) >> 16
+    # inverse rotation: source = R(-a) · target. The rotation is
+    # SEPARABLE in fixed point: c·dx + s·dy broadcasts from two 1-D
+    # vectors (one add per output pixel instead of materializing the
+    # 2-D mgrid products each call) — identical integers, ~3× faster.
+    dy = np.arange(h, dtype=np.int64) - cy
+    dx = np.arange(w, dtype=np.int64) - cx
+    sx = ((c * dx)[None, :] + (s * dy)[:, None] + _FIX // 2) >> 16
+    sy = ((-s * dx)[None, :] + (c * dy)[:, None] + _FIX // 2) >> 16
     sx = sx + cx
     sy = sy + cy
     ok = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
-    out = np.zeros_like(mask)
-    out[ok] = mask[sy[ok], sx[ok]]
+    # clip + gather + mask instead of boolean fancy indexing (two
+    # boolean gathers + a scatter): same values, fewer passes
+    out = mask[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)]
+    out[~ok] = 0
     return out
 
 

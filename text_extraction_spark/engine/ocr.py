@@ -23,6 +23,16 @@ from . import font, imageproc
 
 _WS = re.compile(r"\s+")
 
+# Hamming distance |s| + |t| - 2·s·t rewritten as s·(1-2t) + |t| so the
+# whole slot-vs-template table is ONE float32 sgemm (BLAS) instead of
+# numpy's loop-fallback integer matmul — every operand is a small
+# integer (<= 70), exactly representable in float32, so the result cast
+# back to int32 is bit-identical to the integer expression (asserted by
+# the golden-output tests). The ±1 template matrix and per-template ink
+# counts are constants, hoisted out of the per-image call.
+_T2F = (1.0 - 2.0 * font._FLAT.astype(np.float32))  # (T, 35) of ±1
+_TSUMF = font._FLAT.astype(np.float32).sum(axis=1)  # (T,)
+
 
 def decode_cell(mask: np.ndarray, y0: int, x0: int, y1: int, x1: int) -> str:
     """A12: decode one cell interior of the ink mask → its text."""
@@ -169,7 +179,6 @@ def _decode_grid(
         valid = row_ok[:, None, None] & (
             np.arange(k)[None, None, :] < k_per_col[None, :, None]
         )  # (R,C,K)
-        t = font._FLAT.astype(np.int32)  # (T,35)
         if offset_search:
             # centered-first order: argmin's first-wins tie-break then
             # resolves toward the unshifted grid
@@ -192,8 +201,8 @@ def _decode_grid(
         slots = mask[
             ys[:, :, None, None, :, None], xs[:, None, :, :, None, :]
         ]  # (O,R,C,K,7,5)
-        flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.int32)
-        d = flat.sum(axis=1)[:, None] + t.sum(axis=1)[None, :] - 2 * (flat @ t.T)
+        flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.float32)
+        d = (flat @ _T2F.T + _TSUMF[None, :]).astype(np.int32)
         mind = d.min(axis=1).reshape(n_off, n_cells, k)  # best template dist / slot
         idx_all = np.argmin(d, axis=1).reshape(n_off, n_cells, k)
         cell_dist = np.where(valid_ck[None, :, :], mind, 0).sum(axis=2)  # (O,cells)
