@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType
 
-from .relational import t
+from .relational import t, t_spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -172,7 +172,7 @@ def d02(spark, sf):
     band explode multiplies rows by n_bands (4×) before ONE shuffle;
     oversized buckets degrade to star pairs (_LSH_BUCKET_CAP) so no
     single hot key can go quadratic."""
-    return minhash_candidates(t(spark, sf, "documents"))
+    return minhash_candidates(t_spread(spark, sf, "documents"))
 
 
 def _with_udf_parallelism(df):
@@ -270,7 +270,7 @@ def d03(spark, sf):
     instead of one. Each block join is an equi join bounded by bucket
     occupancy; duplicate pair hits across blocks collapse in one
     distinct. Still never corpus²."""
-    return simhash_candidates(t(spark, sf, "documents"))
+    return simhash_candidates(t_spread(spark, sf, "documents"))
 
 
 def simhash_candidates(docs) -> "F.DataFrame":
@@ -357,7 +357,7 @@ def d05(spark, sf):
     vectors, JVM-side zip_with + aggregate in DOUBLE (no Python, no
     shuffle except the final top-k window). At 100 TB this is the
     verifier for d06's approximate path."""
-    e = t(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -506,7 +506,7 @@ def d06(spark, sf):
     work scales with target occupancy × cap × n, never corpus² — even
     on a store of millions of identical embeddings. Recall vs the exact
     d05 twin is measured by d14_ann_recall and pinned in tests."""
-    return hyperplane_ann(t(spark, sf, "embeddings"))
+    return hyperplane_ann(t_spread(spark, sf, "embeddings"))
 
 
 # Above this bucket size the candidate side of every hyperplane bucket is
@@ -811,7 +811,7 @@ def d15(spark, sf):
     probe cells are distinct, so each (q, v) pair matches at most once —
     no dedup aggregate needed. Work scales with cell occupancy × nprobe,
     never corpus²."""
-    e = t(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings")
     # ONE sizing scan shared by trainer and query path (round 6 —
     # VERDICT r5 #4: this used to be a count() in the trainer plus an
     # agg + filter-count inside ivf_topk, three store scans)
@@ -1156,7 +1156,7 @@ def d14(spark, sf):
 def d07(spark, sf):
     """Token counting: whitespace tokens + a BPE-ish regex segmentation,
     all JVM-side (regexp_count — no Python crossing)."""
-    d = t(spark, sf, "documents")
+    d = t_spread(spark, sf, "documents")
     return d.groupBy("source").agg(
         F.sum(F.size(F.split("text", r"\s+"))).alias("ws_tokens"),
         F.sum(F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))).alias("bpe_ish_tokens"),
@@ -1301,7 +1301,7 @@ def d09(spark, sf):
     """Language ID over documents + agreement matrix vs the labeled lang
     column (the testdata text is synthetic word-salad, so agreement is
     diagnostic, not a gate)."""
-    d = _with_udf_parallelism(t(spark, sf, "documents")).select(
+    d = _with_udf_parallelism(t_spread(spark, sf, "documents")).select(
         "doc_id", "lang", langid_udf("text").alias("pred")
     )
     return d.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1395,7 +1395,7 @@ def d12(spark, sf):
     by cluster label (at 100 TB: by an IVF/LSH bucket — see d06), then
     exact double-precision cosine >= threshold, all JVM-side. The join
     is per-block, never corpus²."""
-    e = t(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings")
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -1432,7 +1432,7 @@ def d13(spark, sf):
     touches LSH-bucket collisions; the exact verify is JVM-side. Value-
     verified end-to-end by its golden twin d36 on the planted near-dup
     store."""
-    return minhash_verified_pairs(t(spark, sf, "documents"))
+    return minhash_verified_pairs(t_spread(spark, sf, "documents"))
 
 
 def minhash_verified_pairs(docs):
@@ -1545,7 +1545,7 @@ def d17(spark, sf):
     # split is PROJECTED once per row: a split captured inside the
     # (interpreted) transform lambda is re-evaluated by every slice
     # call — O(words²) per doc (the d41 hoist; values unchanged)
-    d = t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    d = t_spread(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
     words = F.col("w")
     n_chunks = F.greatest(
         F.ceil(F.size(words) / F.lit(float(_PARA_WORDS))).cast("long"), F.lit(1).cast("long")
@@ -1761,7 +1761,7 @@ def d20(spark, sf):
     keep = the component's min doc_id survives, the rest are the dedup
     DROP list. Every stage is bucketed/linear; the only iteration is
     the O(diameter) component loop."""
-    return corpus_dedup_pipeline(t(spark, sf, "documents"))
+    return corpus_dedup_pipeline(t_spread(spark, sf, "documents"))
 
 
 def corpus_dedup_pipeline(docs):
@@ -2018,7 +2018,7 @@ def d23(spark, sf):
     sides build n-grams JVM-side and meet in ONE equi-join on the gram
     string; at 100 TB the benchmark gram set is tiny (benchmarks are
     MBs) -> broadcast it and the train side never shuffles."""
-    d = t(spark, sf, "documents").select(
+    d = t_spread(spark, sf, "documents").select(
         "doc_id",
         F.split("text", " ").alias("w"),
         (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0").alias(
@@ -2071,7 +2071,7 @@ def d24(spark, sf):
     filter actually discriminates. Shape at 100 TB: explode + two
     partial-aggregating groupBys keyed by (doc_id, gram) then doc_id --
     uniform keys, map-side combine, no joins."""
-    d = t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    d = t_spread(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
     grams = d.select("doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("g"))
     per = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     stats = per.groupBy("doc_id").agg(
@@ -2212,7 +2212,7 @@ def d26(spark, sf):
     survives). Returns (vec_id, component, keep) — the drop-list a user
     applies before training on an embedding-deduped corpus. Every stage
     is the same bucketed/linear shape as its standalone op."""
-    return embedding_dedup_pipeline(t(spark, sf, "embeddings"), threshold=0.30)
+    return embedding_dedup_pipeline(t_spread(spark, sf, "embeddings"), threshold=0.30)
 
 
 # Round 6 (VERDICT r5 #5): per-vertex candidate-degree cap ahead of the
@@ -3089,7 +3089,7 @@ def d31(spark, sf):
     tests/test_plans.py). Hot rows still never reach the tail join's
     word-keyed Exchange — they are filtered out before it — and the
     per-doc reduce weights nll by cnt."""
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs = t_spread(spark, sf, "documents").select("doc_id", "text")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     dwc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
     wc = dwc.groupBy("word").agg(F.sum("cnt").alias("c"))
@@ -3150,7 +3150,7 @@ def d32(spark, sf):
     coverage sum is ONE window over the K selected rows (constant-size)
     against a broadcast total. cum_frac is an exact integer ratio, so
     both engines round identically."""
-    docs = t(spark, sf, "documents").select("text")
+    docs = t_spread(spark, sf, "documents").select("text")
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     tot = words.agg(F.count(F.lit(1)).alias("n"))
@@ -3200,7 +3200,7 @@ def d27(spark, sf):
     per-doc top-k is one window with a total (score desc, term asc)
     tie-break. Rounding happens BEFORE ranking on both engines so float
     ulps can't flip the oracle's ordering."""
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs = t_spread(spark, sf, "documents").select("doc_id", "text")
     terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -3290,7 +3290,7 @@ def d39(spark, sf):
     # split PROJECTED once per row (the d41 hoist): a split captured in
     # the interpreted transform lambda would re-split the doc per
     # paragraph — O(words²) per doc. Values unchanged.
-    d = t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    d = t_spread(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
     words = F.col("w")
     n_paras = F.greatest(
         F.ceil(F.size(words) / F.lit(float(_PARA_WORDS))).cast("long"),
@@ -3580,7 +3580,7 @@ def d41(spark, sf):
     # split(text) captured in the lambda would be re-evaluated by every
     # element_at call — O(words²) splitting per document (measured 28 s
     # → ~3 s at sf1 from this one hoist). Values are unchanged.
-    d = t(spark, sf, "documents").select(
+    d = t_spread(spark, sf, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("w")
     )
     words = F.col("w")
@@ -3774,20 +3774,28 @@ def d44(spark, sf):
     8x blowup of the HIT set only, not the corpus. Reassembly is d39's
     sort_array-of-structs groupBy: one shuffle by doc_id. No Python
     anywhere; every stage is whole-stage-codegen arrays + joins."""
-    d = t(spark, sf, "documents")
+    d = t_spread(spark, sf, "documents")
     words = d.select("doc_id", F.split("text", " ").alias("w"))
     grams = words.select(
         "doc_id",
         F.posexplode(_word_ngrams(F.col("w"), _D44_N)).alias("pos", "g"),
     ).select("doc_id", (F.col("pos") + 1).alias("i"), F.md5("g").alias("h"))
-    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c >= 2")
+    # duplicated grams via ONE window over the gram shuffle (round 7,
+    # measured at sf1: the old groupBy(h)+join-back re-computed the
+    # whole gram subtree — explode + 2.4M md5s — on the probe side and
+    # paid a second exchange: 15 s vs 6.5 s for the same hit set; a
+    # count(*) window over partitionBy(h) shuffles the stream once and
+    # reads each partition sorted, which is exactly the duplicate test)
+    wv = Window.partitionBy("h")
+    hits = (
+        grams.withColumn("c", F.count(F.lit(1)).over(wv)).filter("c >= 2").drop("c")
+    )
     # covered word indices per doc as a SET column — the hit stream is
     # proportional to duplicated content; the old shape instead exploded
     # and shuffled the ENTIRE corpus word stream twice (left_anti by
     # (doc_id, widx), then collect_list + per-doc array_sort by doc_id)
     cov = (
-        grams.join(dup.select("h"), "h")
-        .select(
+        hits.select(
             "doc_id",
             F.explode(F.sequence(F.col("i"), F.col("i") + (_D44_N - 1))).alias("widx"),
         )
@@ -3867,7 +3875,7 @@ def d45(spark, sf):
     swaps; n_hits counts distinct FLAGGED grams per doc."""
     from pyspark.sql.types import BooleanType
 
-    d = t(spark, sf, "documents").select(
+    d = t_spread(spark, sf, "documents").select(
         "doc_id",
         F.split("text", " ").alias("w"),
         (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0").alias(
@@ -4077,7 +4085,7 @@ def d46(spark, sf):
     LSH/IVF prune CANDIDATES, PQ shrinks the per-candidate cost — a
     production system composes them; here PQ runs as a full compressed
     scan so its recall is measured in isolation."""
-    e = t(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings")
     n, dim, dropped = emb_stats(e)
     if dropped:
         e = e.filter(F.size("embedding") == dim)
@@ -4367,7 +4375,7 @@ def d49(spark, sf):
     probed-cell equi join over 8-byte codes; shortlist 32 → exact
     refine. The composition a 10^11-vector deployment actually runs:
     d06/d15 prune candidates OR d46 compresses — this op does both."""
-    e = t(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings")
     n, dim, dropped = emb_stats(e)
     if dropped:
         e = e.filter(F.size("embedding") == dim)
@@ -5834,7 +5842,7 @@ def d69(spark, sf):
     keeps only K after the sort — at 100 TB swap the collect for a
     window row_number ≤ K pre-aggregation so no reducer ever holds a
     stopword's full list; df/tf are plain longs either way."""
-    tok = t(spark, sf, "documents").select(
+    tok = t_spread(spark, sf, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     tf = tok.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("c"))
@@ -5890,7 +5898,7 @@ def d70(spark, sf):
     TakeOrderedAndProject on the exact ratio (no ln in the sort key) —
     at 100 TB the candidate set after the min-support filter is
     vocab²-bounded, not corpus-bounded."""
-    d = t(spark, sf, "documents").select(F.split("text", " ").alias("ws"))
+    d = t_spread(spark, sf, "documents").select(F.split("text", " ").alias("ws"))
     uni = d.select(F.explode("ws").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     n_uni = uni.select(F.count(F.lit(1)).alias("nu"))
@@ -5970,7 +5978,7 @@ def d71(spark, sf):
     n_words > 1 — normalized entropy is 0/0 but the doc is the worst
     crawler-trap case) is flagged unconditionally. At 100 TB:
     embarrassingly parallel, one uniform shuffle."""
-    tok = t(spark, sf, "documents").select(
+    tok = t_spread(spark, sf, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -6086,7 +6094,7 @@ def d72(spark, sf):
     compression path a hot 100-TB serving tier uses (no codebook drift,
     re-encode is a pure map). Recall vs the d05 exact twin is gated in
     tests/test_dataops_session4.py."""
-    e = t(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings")
     _n, dim, dropped = emb_stats(e)
     if dropped:
         e = e.filter(F.size("embedding") == dim)
@@ -6295,7 +6303,7 @@ def _d74_index(docs):
 
 @q("d74_allpairs_exact_join", _D74_SQL)
 def d74(spark, sf):
-    docs = _d74_shingles(t(spark, sf, "documents"))
+    docs = _d74_shingles(t_spread(spark, sf, "documents"))
     sorted_docs, prefix = _d74_index(docs)
     # Known lossless prune, intentionally NOT applied: df=1 tokens can
     # only self-match (same-doc pairs are excluded), so on a mostly-

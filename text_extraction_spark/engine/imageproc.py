@@ -438,6 +438,38 @@ def rotate_mask_nn(mask: np.ndarray, angle_deg: float) -> np.ndarray:
     return out
 
 
+def rotate_mask_nn_multi(mask: np.ndarray, angles: list[float]) -> np.ndarray:
+    """rotate_mask_nn for several angles in ONE batched pass — the
+    skew-refine loop rotates the same mask at 5 close angles, and the
+    per-call numpy overhead (~13 small array ops each) dominated it.
+    Per-angle integers are identical to rotate_mask_nn (same fixed-point
+    rounding, same clip-gather-mask), asserted by the equivalence test.
+    Returns an (A, h, w) array."""
+    h, w = mask.shape
+    cy, cx = (h - 1) // 2, (w - 1) // 2
+    dy = np.arange(h, dtype=np.int64) - cy
+    dx = np.arange(w, dtype=np.int64) - cx
+    rad = [np.deg2rad(a) for a in angles]
+    cs = np.array([int(round(np.cos(a) * _FIX)) for a in rad], dtype=np.int64)
+    ss = np.array([int(round(np.sin(a) * _FIX)) for a in rad], dtype=np.int64)
+    sx = (
+        (cs[:, None, None] * dx[None, None, :])
+        + (ss[:, None, None] * dy[None, :, None])
+        + _FIX // 2
+    ) >> 16
+    sy = (
+        (-ss[:, None, None] * dx[None, None, :])
+        + (cs[:, None, None] * dy[None, :, None])
+        + _FIX // 2
+    ) >> 16
+    sx = sx + cx
+    sy = sy + cy
+    ok = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
+    out = mask[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)]
+    out[~ok] = 0
+    return out
+
+
 def detect_rulings_hough_region(mask: np.ndarray) -> tuple[list[int], list[int]]:
     """A10 region mode: ruling positions for a table EMBEDDED in a larger
     page (margins around it). Projection profiles threshold against the

@@ -104,8 +104,14 @@ def extract_table(gray: np.ndarray, detector: str = "auto") -> str:
             # accuracy identical to full-decode ranking (0.9707) at ~3×
             # less skew-path cost.
             best = None
-            for d_ang in (0.0, -0.1, 0.1, -0.2, 0.2):
-                mask2 = imageproc.rotate_mask_nn(mask, ang + d_ang)
+            deltas = (0.0, -0.1, 0.1, -0.2, 0.2)
+            # all 5 candidate rotations in one batched pass (identical
+            # per-angle integers — see rotate_mask_nn_multi)
+            rotated = imageproc.rotate_mask_nn_multi(
+                mask, [ang + d for d in deltas]
+            )
+            for ai, d_ang in enumerate(deltas):
+                mask2 = rotated[ai]
                 r2, c2 = imageproc.detect_rulings(mask2)
                 if len(r2) < 2 or len(c2) < 2:
                     r2, c2 = imageproc.detect_rulings_hough_region(mask2)

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import t
+from .relational import t, t_spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -56,7 +56,7 @@ def x01(spark, sf):
     from .pipeline import extract_text_udf
 
     return (
-        t(spark, sf, "documents")
+        t_spread(spark, sf, "documents")
         .select("doc_id", extract_text_udf("text").alias("main_text"))
         .filter(F.col("main_text").isNotNull())
     )
@@ -88,7 +88,7 @@ def x02(spark, sf):
             )
         return pd.DataFrame(rows)
 
-    d = t(spark, sf, "documents").select("doc_id", feats("text").alias("f"))
+    d = t_spread(spark, sf, "documents").select("doc_id", feats("text").alias("f"))
     return d.select(
         "doc_id",
         F.col("f.words").alias("words"),

@@ -31,6 +31,70 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# parquet (row_groups, uncompressed_bytes) per path — one driver-side
+# footer read each, cached for the process (metadata only, same class
+# as Spark's own file-listing cache; never caches query results)
+_SCAN_META: dict[str, tuple[int, int]] = {}
+
+# Below this uncompressed size the round-robin spread's own shuffle +
+# stage latency outweighs the parallelism it buys (measured at sf0.1,
+# 1.6–2.6 MB tables: spread cost ~+0.3 s vs ~0.3 s of serial map work
+# saved; at sf1.0, 6–22 MB tables: 3–16× query speedups). Env-tunable
+# for clusters whose fixed stage latency differs.
+_SPREAD_MIN_BYTES = int(
+    float(os.environ.get("SPARK_GRAFT_SPREAD_MIN_MB", "4")) * 1024 * 1024
+)
+
+
+def _scan_meta(path: str) -> tuple[int, int]:
+    m = _SCAN_META.get(path)
+    if m is None:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        )
+        groups, nbytes = 0, 0
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            groups += md.num_row_groups
+            nbytes += sum(
+                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+            )
+        m = (groups or 1, nbytes)
+        _SCAN_META[path] = m
+    return m
+
+
+def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """t() plus a round-robin repartition to default parallelism WHEN
+    the parquet footprint cannot feed that many scan tasks (guide §2.5
+    input-skew class): a parquet reader cannot split inside a row
+    group, so a table written as one or two row groups pins every
+    downstream map stage (explode / n-gram / hash / json parse) to one
+    or two tasks regardless of the split count — measured at sf1 the
+    d44 gram build ran on 2 of 32 cores. The guard is row-group-aware,
+    not split-aware (splits of a single-row-group file are fake
+    parallelism), and additionally requires the table to carry enough
+    bytes (_SPREAD_MIN_BYTES) for the spread to beat its own shuffle.
+    Costs one cached footer read on the driver; at any real table size
+    row groups >> cores and the bare scan is returned unchanged — the
+    guard can only ever fire where the table is small enough that the
+    repartition it adds is trivially cheap. Round-robin repartition is
+    value-safe for every caller: all are partition-order-independent
+    aggregates/joins (determinism pinned by the oracle suite)."""
+    df = t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    groups, nbytes = _scan_meta(os.path.join(sf_dir, f"{name}.parquet"))
+    if groups < par and nbytes >= _SPREAD_MIN_BYTES:
+        return df.repartition(par)
+    return df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -160,7 +224,7 @@ def q07(spark, sf):
        GROUP BY e1.event_id""",
 )
 def q08(spark, sf):
-    e = t(spark, sf, "events")
+    e = t_spread(spark, sf, "events")
     e1 = e.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_id"), F.col("user_id").alias("u1"), F.col("ts").alias("t1")
     )
@@ -192,7 +256,7 @@ def q08(spark, sf):
 def q09(spark, sf):
     """As-of join: for each purchase, the latest same-user signup at or
     before it — range-join + row_number()=1 (SURVEY Q9)."""
-    e = t(spark, sf, "events").select("event_id", "user_id", "ts", "event_type")
+    e = t_spread(spark, sf, "events").select("event_id", "user_id", "ts", "event_type")
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
     )
@@ -453,12 +517,19 @@ def q21(spark, sf):
        FROM events GROUP BY event_type""",
 )
 def q22(spark, sf):
-    e = t(spark, sf, "events")
+    e = t_spread(spark, sf, "events")
+    # parse the JSON ONCE in a projection — as separate agg inputs the
+    # sum and max each re-ran get_json_object per row (2× the parse
+    # cost, the round-7 guide §4 'compute once' rule applied JVM-side)
     k = F.get_json_object("props", "$.k").cast(LongType())
-    return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(k).alias("sum_k"),
-        F.max(k).alias("max_k"),
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
     )
 
 
