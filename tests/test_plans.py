@@ -166,28 +166,54 @@ def test_ann_paths_never_nested_loop(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_ann_bucket_exchange_carries_ids_only(spark):
-    """d06/d26 (round 4): the hyperplane bucket shuffle must move
-    (vec_id, bucket) rows only — embeddings are re-attached by slim
-    join-back AFTER pair dedup. An embedding column in a
-    bucket-partitioned Exchange is the _LSH_TABLES× heavy-column
-    amplification this round removed."""
+def _exchange_blocks(df):
     import contextlib
     import io
     import re
 
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return re.findall(r"\(\d+\) Exchange[\s\S]*?(?=\n\(\d+\)|\Z)", buf.getvalue())
+
+
+def test_ann_bucket_exchange_carries_ids_only(spark):
+    """d26 (round 4): the hyperplane bucket shuffle must move
+    (vec_id, bucket) rows only — embeddings are re-attached by slim
+    join-back AFTER pair dedup and degree capping. An embedding column
+    in a bucket-partitioned Exchange is the _LSH_TABLES× heavy-column
+    amplification round 4 removed.
+
+    d06 (round 7) intentionally INVERTS this: pairs are scored inside
+    the bucket stage (guide §8), so the bucket exchange carries each
+    embedding once per membership (n·tables rows) and NO later exchange
+    carries embeddings at all — per-pair volume (n·tables·occupancy)
+    never moves. Pinned by test_ann_scored_pairs_exchange_is_slim."""
     from text_extraction_spark import dataops
 
-    for name in ("d06_ann_lsh_bucketed", "d26_embedding_dedup_pipeline"):
-        df = dataops.QUERIES[name](spark, SF)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        blocks = re.findall(r"\(\d+\) Exchange[\s\S]*?(?=\n\(\d+\)|\Z)", buf.getvalue())
-        assert blocks, name  # the bucket shuffle must exist
-        for b in blocks:
-            if "hashpartitioning(bucket" in b:
-                assert "embedding" not in b.lower(), (name, b)
+    blocks = _exchange_blocks(dataops.QUERIES["d26_embedding_dedup_pipeline"](spark, SF))
+    assert blocks  # the bucket shuffle must exist
+    for b in blocks:
+        if "hashpartitioning(bucket" in b:
+            assert "embedding" not in b.lower(), b
+
+
+def test_ann_scored_pairs_exchange_is_slim(spark):
+    """d06 (round 7): embeddings ride EXACTLY ONE exchange — the bucket
+    cogroup that feeds the in-bucket scorer. Every downstream exchange
+    (pair dedup on (ua, ub), the top-3 window on q_id) must carry ids +
+    cosine only; an embedding column there means the per-pair join-back
+    shape (2 heavy joins + 4 GB of pair traffic at sf1) crept back."""
+    from text_extraction_spark import dataops
+
+    blocks = _exchange_blocks(dataops.QUERIES["d06_ann_lsh_bucketed"](spark, SF))
+    assert blocks
+    heavy = [b for b in blocks if "embedding" in b.lower()]
+    assert len(heavy) == 1, heavy
+    assert "hashpartitioning(bucket" in heavy[0], heavy[0]
+    for b in blocks:
+        if "hashpartitioning(ua" in b or "hashpartitioning(q_id" in b:
+            assert "embedding" not in b.lower(), b
 
 
 def test_vocab_topk_never_full_sort(spark):

@@ -59,17 +59,16 @@ def get_spark(
         # per task — fine-grained enough to keep every core busy locally
         # and a sane work quantum on a 1000-executor cluster too.
         .config("spark.sql.files.maxPartitionBytes", "33554432")
-        # Round 7 (guide §6): the 4 MB openCostInBytes default FLOORS the
-        # scan split size at 4 MB, so a table smaller than 4 MB × cores
-        # scans with fewer splits than cores and every map-heavy stage
-        # (explode/md5/ngram) runs on a fraction of the cluster —
-        # measured at sf1: gram/bigram stages ran 10 of 32 cores; at
-        # sf0.1 the 3.7 MB corpus scanned as ONE task. 128 KB keeps the
-        # small-file packing semantics but lets the minPartitionNum
-        # (= default parallelism) term set the split size. Scale-neutral
-        # by construction: at any real table size bytes/minPartitionNum
-        # >> 4 MB, where targetSize is governed by maxPartitionBytes.
-        .config("spark.sql.files.openCostInBytes", "131072")
+        # Round 7: openCostInBytes stays at its 4 MB default. A 128 KB
+        # override was tried to raise small-table scan split counts, but
+        # every fixture table is written as 1–6 parquet row groups and a
+        # reader cannot split inside a row group, so the extra splits
+        # were EMPTY tasks — measured at sf1 as +0.1–0.3 s of pure
+        # scheduling overhead on every scan-bound query (q01 0.42→0.19 s,
+        # q10 0.62→0.47 s, d67 0.83→0.59 s after the revert). Row-group-
+        # bound parallelism is instead restored where it matters by the
+        # relational.t_spread round-robin spread, which is row-group- and
+        # byte-gated per table.
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     )
     if master:

@@ -541,34 +541,402 @@ def _cosine(ca, cb):
     return dot / norm(ca) / norm(cb)
 
 
-def _norm_col(c):
-    """_cosine's norm sub-expression alone (sqrt of the 0.0-seeded
-    left fold of squared elements) — attached ONCE per vector in a
-    projection so candidate scoring stops recomputing both norms per
-    pair. (A fixed-dim expansion to a 64-term arithmetic chain was
-    measured 2-4× SLOWER than this interpreted fold — the chain blows
-    past codegen's method limits — so the fold stays.)"""
-    return F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def _cos_fold_f64(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Batch cosine with the SAME float64 operation order as the JVM
+    fold expressions (_cosine/_cosine_pre): dot, |a|², |b|² each
+    accumulate left-to-right over the dim axis (one vectorized add per
+    dim preserves the per-row op order exactly), sqrt is IEEE correctly
+    rounded in both numpy and Java, and the division order is
+    dot / |a| / |b| — so every double is bit-identical to the
+    interpreted fold it replaces (asserted by tests and the golden
+    oracle sweep)."""
+    n, d = A.shape
+    acc = np.zeros(n, dtype=np.float64)
+    na = np.zeros(n, dtype=np.float64)
+    nb = np.zeros(n, dtype=np.float64)
+    for j in range(d):
+        a = A[:, j]
+        b = B[:, j]
+        acc += a * b
+        na += a * a
+        nb += b * b
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return acc / np.sqrt(na) / np.sqrt(nb)
+
+
+def _arrow_list_to_2d(col):
+    """Arrow list<float|double> column → (n, d) float64 matrix, or None
+    when the column is ragged / has nulls (caller falls back to the
+    exact per-row fold). Zero-copy flatten: the list values are one
+    contiguous buffer, so no per-row object materialization happens."""
+    import pyarrow as pa
+
+    if pa.types.is_fixed_size_list(col.type):
+        if col.null_count:
+            return None
+        d = col.type.list_size
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return vals.reshape(len(col), d).astype(np.float64, copy=False)
+    offs = col.offsets.to_numpy()
+    widths = np.diff(offs)
+    if col.null_count or len(widths) == 0 or not (widths == widths[0]).all():
+        return None
+    d = int(widths[0])
+    if d == 0:
+        return None
+    vals = col.values.to_numpy(zero_copy_only=False)
+    start = int(offs[0])
+    return (
+        vals[start : start + len(col) * d]
+        .reshape(len(col), d)
+        .astype(np.float64, copy=False)
+    )
+
+
+def _pair_cosine_arrow(df, id1: str, id2: str, a_col: str, b_col: str):
+    """(id1, id2, a_col, b_col) rows → (id1, id2, cosine) where cosine
+    is EXACTLY _cosine(a_col, b_col) (raw, unrounded — callers keep
+    F.round JVM-side), computed batch-vectorized via mapInArrow.
+
+    Round 7 (guide §4.2): the per-pair zip_with/aggregate dot fold is
+    interpreted Catalyst — ~64 boxed lambda evaluations per pair, and
+    the ANN candidate joins score millions of pairs (sf1: ~12M for
+    d15). One Arrow crossing of (two ids + two 64-float vectors) per
+    pair feeds a numpy loop over the dim axis instead; the op order is
+    preserved per row (see _cos_fold_f64) so results are bit-identical
+    — this is a pure execution-engine swap, not an algorithm change.
+    Ragged / null vector rows take an exact per-row Python fold with
+    the same op order (never hit on the canonical-dim-filtered ANN
+    paths; kept for safety)."""
+    import math
+
+    sel = df.select(id1, id2, a_col, b_col)
+
+    def fn(it):
+        import pyarrow as pa
+
+        for batch in it:
+            A = _arrow_list_to_2d(batch.column(2))
+            B = _arrow_list_to_2d(batch.column(3))
+            if A is not None and B is not None and A.shape == B.shape:
+                cos = _cos_fold_f64(A, B)
+                out = pa.array(cos, type=pa.float64())
+            else:  # exact same fold, row at a time (ragged/null safety)
+                a_rows = batch.column(2).to_pylist()
+                b_rows = batch.column(3).to_pylist()
+                vals: list[float | None] = []
+                for a, b in zip(a_rows, b_rows):
+                    if a is None or b is None:
+                        vals.append(None)
+                        continue
+                    acc = na = nb_ = 0.0
+                    for x, y in zip(a, b):
+                        x = float(x)
+                        y = float(y)
+                        acc = acc + x * y
+                        na = na + x * x
+                        nb_ = nb_ + y * y
+                    da, db_ = math.sqrt(na), math.sqrt(nb_)
+                    v = np.float64(acc)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        v = v / np.float64(da) / np.float64(db_)
+                    vals.append(float(v))
+                out = pa.array(vals, type=pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), out],
+                names=[id1, id2, "cosine"],
+            )
+
+    return sel.mapInArrow(fn, f"{id1} long, {id2} long, cosine double")
+
+
+def _cell_topk_cosine(qs, data, key: str, margin: float = 2e-4):
+    """Per-cell cogrouped exact-cosine scorer for the IVF paths
+    (guide §8: move heavy payloads once, decide with small rows).
+
+    The old shape joined (queries × data) on `key` and computed the
+    cosine per PAIR — both 64-float vectors crossed the exchange and
+    the Arrow boundary once per candidate pair (sf1: ~12M pairs ≈ 6 GB
+    of vector traffic for d15). Here both sides cogroup by `key`, so
+    every vector crosses ONCE per cell it belongs to (data: once,
+    queries: nprobe times — ~77 MB at sf1), and one numpy pass per
+    cell computes the whole (queries × data) cosine grid with the SAME
+    float64 op order as the JVM fold (see _cos_fold_f64): the dot and
+    both norms accumulate left-to-right over the dim axis, division
+    order dot / |data| / |query| — bit-identical doubles.
+
+    Output pre-filter (also exact): only rows that can still reach the
+    global rounded top-3 are emitted. Per query per cell, a row is
+    dropped iff 3 same-cell rows beat it by more than `margin` = 2e-4
+    in RAW cosine: F.round(·,4) moves a value by at most 5e-5, so each
+    of those 3 kept rows' rounded values strictly exceed the dropped
+    row's rounded value (y−5e-5 > x+5e-5 whenever y−x > 2e-4 ≥ 1e-4),
+    and a strictly-beaten row can never enter the rounded top-3 under
+    ANY vec_id tie-break. NaN cosines (zero vectors) rank above every
+    number in Spark's ordering, so they are ranked as +inf and always
+    kept. Callers apply F.round and the top-3 window unchanged —
+    results are bit-identical, the window input is just ~10× smaller.
+
+    Returns (q_id, vec_id, cosine) with cosine RAW (unrounded)."""
+
+    _empty = {
+        "q_id": pd.Series([], dtype="int64"),
+        "vec_id": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame(_empty)
+        qm = [np.asarray(v, dtype=np.float64) for v in left["qe"]]
+        dm = [np.asarray(v, dtype=np.float64) for v in right["embedding"]]
+        dim0 = qm[0].shape
+        if any(v.shape != dim0 for v in qm) or any(v.shape != dim0 for v in dm):
+            # ragged store: exact per-pair fold (never hit on the
+            # canonical-dim-filtered ANN paths; kept for safety)
+            out_q, out_v, out_c = [], [], []
+            for qi, qv in zip(left["q_id"], qm):
+                for vi, dv in zip(right["vec_id"], dm):
+                    if qi == vi or qv.shape != dv.shape:
+                        continue
+                    acc = na = nb = 0.0
+                    for x, y in zip(dv, qv):
+                        acc = acc + float(x) * float(y)
+                        na = na + float(x) * float(x)
+                        nb = nb + float(y) * float(y)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c = float(
+                            np.float64(acc)
+                            / np.float64(np.sqrt(na))
+                            / np.float64(np.sqrt(nb))
+                        )
+                    out_q.append(int(qi))
+                    out_v.append(int(vi))
+                    out_c.append(c)
+            return pd.DataFrame(
+                {
+                    "q_id": pd.Series(out_q, dtype="int64"),
+                    "vec_id": pd.Series(out_v, dtype="int64"),
+                    "cosine": pd.Series(out_c, dtype="float64"),
+                }
+            )
+        Q = np.stack(qm)
+        Dm = np.stack(dm)
+        n_q, n_d = len(Q), len(Dm)
+        acc = np.zeros((n_q, n_d), dtype=np.float64)
+        qn = np.zeros(n_q, dtype=np.float64)
+        dn = np.zeros(n_d, dtype=np.float64)
+        for j in range(Q.shape[1]):
+            qj = Q[:, j]
+            dj = Dm[:, j]
+            acc += qj[:, None] * dj[None, :]
+            qn += qj * qj
+            dn += dj * dj
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (acc / np.sqrt(dn)[None, :]) / np.sqrt(qn)[:, None]
+        q_ids = left["q_id"].to_numpy()
+        v_ids = right["vec_id"].to_numpy()
+        valid = q_ids[:, None] != v_ids[None, :]
+        # rank NaN as +inf (Spark sorts NaN above every double desc)
+        cons = np.where(valid, cos, -np.inf)
+        cons = np.where(np.isnan(cons), np.inf, cons)
+        if n_d >= 3:
+            t3 = np.partition(cons, n_d - 3, axis=1)[:, n_d - 3]
+        else:
+            t3 = np.full(n_q, -np.inf)
+        keep = valid & (np.isnan(cos) | (cos >= (t3 - margin)[:, None]))
+        qi, di = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "q_id": pd.Series(q_ids[qi], dtype="int64"),
+                "vec_id": pd.Series(v_ids[di], dtype="int64"),
+                "cosine": pd.Series(cos[qi, di], dtype="float64"),
+            }
         )
+
+    return (
+        qs.groupBy(key)
+        .cogroup(data.groupBy(key))
+        .applyInPandas(fn, "q_id long, vec_id long, cosine double")
     )
 
 
-def _cosine_pre(ca, cb, na, nb):
-    """_cosine with the per-vector norms precomputed via _norm_col:
-    the same zip_with/aggregate dot fold and the same dot/na/nb
-    division order, so every double is bit-identical to _cosine —
-    only the redundant per-pair norm recomputation (measured ~2/3 of
-    the interpreted per-pair work) is gone."""
-    dot = F.aggregate(
-        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _hyperplane_scored_pairs(emb, stats: tuple[int, int, int] | None = None):
+    """(vec_id, embedding) → distinct undirected candidate pairs
+    (ua < ub, cosine) from the multi-table hyperplane buckets, scored
+    per BUCKET instead of per pair (round 7, guide §8).
+
+    The round-4 shape shipped ids-only bucket rows, deduped pairs, then
+    re-attached embeddings with two equi-joins — so every candidate
+    PAIR moved two 64-float vectors (sf1: 8M pairs ≈ 4 GB). But pair
+    volume is n·tables·occupancy while bucket-membership volume is only
+    n·tables: grouping each bucket's (vec_id, rep-rank, embedding) rows
+    and computing the member × representative cosine grid in ONE numpy
+    pass per bucket moves each vector once per membership (sf1:
+    ~165 MB, 25× less) and deletes both join-backs. The grid keeps the
+    exact fold semantics: dot accumulates left-to-right over dims
+    (multiplication order per element is IEEE-commutative), division is
+    dot / |vec(min id)| / |vec(max id)| — bit-identical doubles to the
+    old join-back scoring, so the d35 golden and the d14 recall gate
+    are unchanged.
+
+    Representative capping (_ANN_BUCKET_CAP lowest-xxhash64 members,
+    round-5 ADVICE semantics) keeps the HASH JVM-side: xxhash64(vec_id)
+    rides the bucket rows as a plain column and the per-bucket
+    (hash, vec_id) rank is a numpy lexsort — Python never re-implements
+    xxhash64, and the old row_number window (a full sort exchange)
+    disappears; the single bucket hash exchange feeds mapInArrow
+    directly. Buckets are small (occupancy is held ~_LSH_TARGET_BUCKET
+    by the adaptive plane count), so the scorer buffers its partition
+    (rows·dim·8 B ≈ 5 MB at 64 shuffle partitions / sf1), groups bucket
+    runs itself with one argsort, and scores ALL the partition's pairs
+    through flat gathered index arrays — per-bucket numpy calls on
+    20-row grids were measured overhead-bound (an applyInPandas variant
+    with one pandas group per bucket ran SLOWER than the join-back it
+    replaced).
+
+    The same provable margin pre-filter as _cell_topk_cosine applies
+    per DIRECTION (a pair survives if either endpoint still needs it):
+    dropped rows are strictly beaten by ≥3 kept same-bucket rows even
+    after F.round(·,4), so the global rounded top-3 per query is
+    bit-identical while the dedup+window input shrinks ~3×."""
+    import warnings
+
+    n_rows, dim, dropped = emb_stats(emb) if stats is None else stats
+    if dropped:
+        warnings.warn(
+            f"hyperplane ann: {dropped} rows dropped (embedding dim != {dim})",
+            stacklevel=2,
+        )
+    n_planes = _adaptive_planes(n_rows)
+    e = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(_hyperplane_buckets_udf(dim, n_planes)("embedding")).alias(
+                "bucket"
+            ),
+        )
+        .filter(F.col("bucket") >= 0)
+        .select("bucket", "vec_id", F.xxhash64("vec_id").alias("h"), "embedding")
+        .repartition(F.col("bucket"))
     )
-    return dot / na / nb
+
+    margin = 2e-4
+    cap = _ANN_BUCKET_CAP
+    pair_chunk = 1 << 18  # bounds the gathered (A, B) pair matrices
+
+    def fn(it):
+        import pyarrow as pa
+
+        bks, idss, hss, embs = [], [], [], []
+        for batch in it:
+            E = _arrow_list_to_2d(batch.column(3))
+            if E is None:  # ragged store — cannot happen post-filter,
+                # decode row-wise to keep the exact fold anyway
+                E = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in batch.column(3).to_pylist()]
+                )
+            bks.append(batch.column(0).to_numpy())
+            idss.append(batch.column(1).to_numpy())
+            hss.append(batch.column(2).to_numpy())
+            embs.append(E)
+        if not bks:
+            return
+        bk = np.concatenate(bks)
+        ids = np.concatenate(idss)
+        hs = np.concatenate(hss)
+        M = np.vstack(embs)
+        # per-vector norm, exact fold order (see _cos_fold_f64)
+        norm_acc = np.zeros(len(M), dtype=np.float64)
+        for j in range(M.shape[1]):
+            mj = M[:, j]
+            norm_acc += mj * mj
+        norms = np.sqrt(norm_acc)
+        # bucket runs + rep rank by (xxhash64, vec_id) inside each run
+        order = np.lexsort((ids, hs, bk))  # bucket-major, then hash rank
+        bk_s = bk[order]
+        run_starts = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]])
+        run_ends = np.r_[run_starts[1:], len(bk_s)]
+        mi_all, ri_all = [], []
+        for s, e_ in zip(run_starts, run_ends):
+            run = order[s:e_]
+            if len(run) < 2:
+                continue
+            reps = run[: min(cap, len(run))]  # rank order = rep priority
+            mi_all.append(np.repeat(run, len(reps)))
+            ri_all.append(np.tile(reps, len(run)))
+        if not mi_all:
+            return
+        out_a, out_b, out_c = [], [], []
+        mi_runs = np.concatenate(mi_all)
+        ri_runs = np.concatenate(ri_all)
+        # flat exact cosine over all pairs, chunked. MT is the dim-major
+        # copy so each per-dim accumulation reads contiguous memory
+        # (column slices of the C-order gather were cache-miss bound).
+        MT = np.ascontiguousarray(M.T)
+        cos_flat = np.empty(len(mi_runs), dtype=np.float64)
+        for s in range(0, len(mi_runs), pair_chunk):
+            e2 = min(s + pair_chunk, len(mi_runs))
+            A = MT[:, mi_runs[s:e2]]
+            B = MT[:, ri_runs[s:e2]]
+            acc = np.zeros(e2 - s, dtype=np.float64)
+            for j in range(M.shape[1]):
+                acc += A[j] * B[j]
+            ia = ids[mi_runs[s:e2]]
+            ib = ids[ri_runs[s:e2]]
+            n_first = np.where(ia < ib, norms[mi_runs[s:e2]], norms[ri_runs[s:e2]])
+            n_second = np.where(ia < ib, norms[ri_runs[s:e2]], norms[mi_runs[s:e2]])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_flat[s:e2] = acc / n_first / n_second
+        # per-bucket margin filter on grid views
+        pos = 0
+        for s, e_ in zip(run_starts, run_ends):
+            run = order[s:e_]
+            if len(run) < 2:
+                continue
+            n_m = len(run)
+            n_r = min(cap, n_m)
+            grid = cos_flat[pos : pos + n_m * n_r].reshape(n_m, n_r)
+            m_ids = ids[run]
+            r_ids = ids[run[:n_r]]
+            valid = m_ids[:, None] != r_ids[None, :]
+            cons = np.where(valid, grid, -np.inf)
+            cons = np.where(np.isnan(cons), np.inf, cons)
+            if n_r >= 3:
+                t3_row = np.partition(cons, n_r - 3, axis=1)[:, n_r - 3]
+            else:
+                t3_row = np.full(n_m, -np.inf)
+            if n_m >= 3:
+                t3_col = np.partition(cons, n_m - 3, axis=0)[n_m - 3, :]
+            else:
+                t3_col = np.full(n_r, -np.inf)
+            nanc = np.isnan(grid)
+            keep = valid & (
+                nanc
+                | (grid >= (t3_row - margin)[:, None])
+                | (grid >= (t3_col - margin)[None, :])
+            )
+            kmi, kri = np.nonzero(keep)
+            a, b = m_ids[kmi], r_ids[kri]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(grid[kmi, kri])
+            pos += n_m * n_r
+        if out_a:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a), type=pa.int64()),
+                    pa.array(np.concatenate(out_b), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.float64()),
+                ],
+                names=["ua", "ub", "cosine"],
+            )
+
+    scored = e.mapInArrow(fn, "ua long, ub long, cosine double")
+    # duplicates (same pair co-bucketing in several tables) carry
+    # bit-identical cosines, so any aggregate of the group is THE value
+    return scored.groupBy("ua", "ub").agg(F.max("cosine").alias("cosine"))
 
 
 def _hyperplane_id_pairs(emb, stats: tuple[int, int, int] | None = None):
@@ -636,30 +1004,12 @@ def hyperplane_ann(emb):
     undirected pair after a slim join-back, then both query directions
     are emitted for the per-query top-3 — half the cosine work of the
     old per-direction join and no duplicate-hit groupBy."""
-    pairs = _hyperplane_id_pairs(emb)
-    # norms attached ONCE per vector on the slim join-back sides; the
-    # per-pair cosine reuses them instead of recomputing per pair
-    # (bit-identical to _cosine — see _cosine_pre)
-    ea = emb.select(
-        F.col("vec_id").alias("ua"),
-        F.col("embedding").alias("ea"),
-        _norm_col(F.col("embedding")).alias("na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("ub"),
-        F.col("embedding").alias("eb"),
-        _norm_col(F.col("embedding")).alias("nb"),
-    )
-    scored = (
-        pairs.join(ea, "ua")
-        .join(eb, "ub")
-        .select(
-            "ua",
-            "ub",
-            F.round(
-                _cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
-            ).alias("cosine"),
-        )
+    # Round 7: pairs are generated AND scored per bucket in one grouped
+    # numpy pass (see _hyperplane_scored_pairs) — embeddings cross once
+    # per bucket membership instead of twice per candidate pair, and
+    # both join-backs disappear; doubles are bit-identical.
+    scored = _hyperplane_scored_pairs(emb).select(
+        "ua", "ub", F.round(F.col("cosine"), 4).alias("cosine")
     )
     directed = scored.select(
         F.explode(
@@ -840,37 +1190,24 @@ def ivf_topk(e, C: np.ndarray, stats: tuple[int, int, int] | None = None):
             f"IVF ANN: {dropped} rows dropped (embedding dim != centroid dim)",
             stacklevel=2,
         )
-    # norms ride the per-vector rows (computed once under the Generate,
-    # not once per candidate pair — see _cosine_pre)
     data = e.select(
         "vec_id",
         "embedding",
-        _norm_col(F.col("embedding")).alias("nv"),
         F.explode(home("embedding")).alias("cell"),
     ).filter(F.col("cell") >= 0)
-    qs = (
-        e.select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("qe"),
-            _norm_col(F.col("embedding")).alias("nq"),
-            F.explode(probe("embedding")).alias("cell"),
-        )
-        .filter(F.col("cell") >= 0)
-        # co-partition by cell (round 5): when the data side broadcasts,
-        # the join — and the expensive cosine projection fused into its
-        # stage — inherits the probe side's partitioning, which is the
-        # raw SCAN partitioning (2 tasks on a single-file store). The
-        # explicit cell repartition is the natural join shuffle at real
-        # scale and spreads the cosine work across the cluster at every
-        # scale (sf1: 201 s → measured after fix below).
-        .repartition(F.col("cell"))
-    )
-    j = qs.join(data, "cell").filter(F.col("vec_id") != F.col("q_id"))
-    sims = j.select(
-        "q_id", "vec_id",
-        F.round(
-            _cosine_pre(F.col("embedding"), F.col("qe"), F.col("nv"), F.col("nq")), 4
-        ).alias("cosine"),
+    qs = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(probe("embedding")).alias("cell"),
+    ).filter(F.col("cell") >= 0)
+    # Round 7 (guide §8): cogroup by cell instead of joining and scoring
+    # per pair — vectors cross the exchange once per cell instead of
+    # once per candidate pair (sf1: 77 MB instead of 6 GB), the cosine
+    # grid is one numpy pass per cell (bit-identical fold order), and
+    # the provable top-3 margin pre-filter shrinks the window input
+    # ~10× (see _cell_topk_cosine).
+    sims = _cell_topk_cosine(qs, data, "cell").select(
+        "q_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
@@ -1049,28 +1386,18 @@ def ivf2_topk(
     q_top = e.select(
         "vec_id", "embedding", F.explode(probe("embedding")).alias("tcell")
     ).filter(F.col("tcell") >= 0)
-    qs = (
-        _ivf2_assign(q_top, subc, sub_probe)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("qe"),
-            _norm_col(F.col("embedding")).alias("nq"),
-            "leaf",
-        )
-        # co-partition by leaf — the flat path's round-5 lesson: the
-        # exact-cosine projection fuses into this join's stage, so its
-        # partitioning must be the join key, not the UDF output's
-        .repartition(F.col("leaf"))
+    qs = _ivf2_assign(q_top, subc, sub_probe).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        "leaf",
     )
-    dd = data.select(
-        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("nv"), "leaf"
-    )
-    j = qs.join(dd, "leaf").filter(F.col("vec_id") != F.col("q_id"))
-    sims = j.select(
-        "q_id", "vec_id",
-        F.round(
-            _cosine_pre(F.col("embedding"), F.col("qe"), F.col("nv"), F.col("nq")), 4
-        ).alias("cosine"),
+    dd = data.select("vec_id", "embedding", "leaf")
+    # Round 7 (guide §8): cogroup by leaf — same shape as the flat
+    # path's cell cogroup; vectors cross once per leaf, the cosine grid
+    # is one numpy pass per leaf (bit-identical fold order), and the
+    # margin pre-filter bounds the window input (see _cell_topk_cosine).
+    sims = _cell_topk_cosine(qs, dd, "leaf").select(
+        "q_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
@@ -2284,15 +2611,12 @@ def embedding_dedup_pipeline(emb, threshold: float):
     pairs = _cap_pair_degree(_hyperplane_id_pairs(emb))
     ea = emb.select(F.col("vec_id").alias("ua"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("ub"), F.col("embedding").alias("eb"))
+    # exact cosine verify batch-vectorized in Arrow/numpy — bit-identical
+    # doubles to the interpreted _cosine fold (see _pair_cosine_arrow)
     verified = (
-        pairs.join(ea, "ua")
-        .join(eb, "ub")
-        .select(
-            F.col("ua").alias("a"), F.col("ub").alias("b"),
-            _cosine(F.col("ea"), F.col("eb")).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("a", "b")
+        _pair_cosine_arrow(pairs.join(ea, "ua").join(eb, "ub"), "ua", "ub", "ea", "eb")
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("ua").alias("a"), F.col("ub").alias("b"))
     )
     cc = _connected_components(verified)
     return cc.select(
@@ -3150,7 +3474,11 @@ def d32(spark, sf):
     coverage sum is ONE window over the K selected rows (constant-size)
     against a broadcast total. cum_frac is an exact integer ratio, so
     both engines round identically."""
-    docs = t_spread(spark, sf, "documents").select("text")
+    # Bare scan, NOT t_spread (round 7): the explode+partial-count map
+    # work on 20 MB of sf1 text is ~0.5 s on one core, cheaper than the
+    # full-text round-robin shuffle the spread adds (measured 1.74 s
+    # spread vs 0.61 s bare at sf1).
+    docs = t(spark, sf, "documents").select("text")
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     tot = words.agg(F.count(F.lit(1)).alias("n"))

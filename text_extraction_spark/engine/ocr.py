@@ -138,6 +138,15 @@ def extract_table(gray: np.ndarray, detector: str = "auto") -> str:
     return _decode_grid(mask, rows, cols)
 
 
+# hoisted index vectors for the slot gather (round 7: _decode_grid is
+# called once per clean image and was ~55% fixed numpy-call overhead on
+# typical 20–40-cell grids; every saved allocation counts)
+_AR_GH = np.arange(font.GLYPH_H)
+_AR_GW = np.arange(font.GLYPH_W)
+_AR_K = np.arange(font.MAX_CHARS)
+_LUT = np.frombuffer(b"\x00" + font.ALPHABET.encode("ascii"), dtype=np.uint8)
+
+
 def _decode_grid(
     mask: np.ndarray,
     rows: list[int],
@@ -152,13 +161,22 @@ def _decode_grid(
     (ties → centered-first order) — tolerance for the spatially-varying
     ≤2 px jitter a deskew rotation leaves, rigid enough (a whole cell
     shares one shift) not to let single slots overfit noise to a wrong
-    template; the (0,0) path is bit-identical to the plain decode."""
+    template; the (0,0) path is bit-identical to the plain decode.
+
+    Round 7: the common path (no offset search, no score) skips the
+    whole offset axis, the int32 recast (the distances are small exact
+    integers in float32, so argmin ties resolve identically), the
+    distance min/sum reductions, and the per-cell bytes loop — the
+    function was ~55% fixed numpy-call overhead per clean image.
+    Outputs are bit-identical (pinned by the golden suites)."""
     h, w = mask.shape
-    r_arr = np.asarray(rows[:-1], dtype=np.int64)
-    c_arr = np.asarray(cols[:-1], dtype=np.int64)
+    r_all = np.asarray(rows, dtype=np.int64)
+    c_all = np.asarray(cols, dtype=np.int64)
+    r_arr = r_all[:-1]
+    c_arr = c_all[:-1]
     n_rows, n_cols = len(r_arr), len(c_arr)
-    cell_h = np.diff(np.asarray(rows, dtype=np.int64)) - 1  # (R,) interior heights
-    cell_w = np.diff(np.asarray(cols, dtype=np.int64)) - 1  # (C,) interior widths
+    cell_h = r_all[1:] - r_arr - 1  # (R,) interior heights
+    cell_w = c_all[1:] - c_arr - 1  # (C,) interior widths
     # decode_cell's loop bound, per column j: slot k fits iff
     # PAD + k·ADVANCE + GLYPH_W <= cell_w[j]
     k_per_col = np.where(
@@ -171,59 +189,73 @@ def _decode_grid(
     row_ok = cell_h >= font.PAD + font.GLYPH_H  # (R,) glyph row fits at all
     k = int(k_per_col.max(initial=0))
     score = (0, 0)  # (summed best-template distance, n valid slots)
+    n_cells = n_rows * n_cols
     if k == 0 or not row_ok.any():
-        texts = ["" for _ in range(n_rows * n_cols)]
+        texts = ["" for _ in range(n_cells)]
     else:
-        base_ys = (r_arr[:, None] + 1 + font.PAD) + np.arange(font.GLYPH_H)[None, :]  # (R,7)
+        base_ys = (r_arr[:, None] + 1 + font.PAD) + _AR_GH[None, :]  # (R,7)
         base_xs = (
             (c_arr[:, None, None] + 1 + font.PAD)
-            + np.arange(k)[None, :, None] * font.ADVANCE
-            + np.arange(font.GLYPH_W)[None, None, :]
+            + _AR_K[:k, None] * font.ADVANCE
+            + _AR_GW[None, None, :]
         )  # (C,K,5)
         # decode_cell's break conditions as a mask: slot k exists iff it
         # fits the column's width AND the row fits a glyph vertically
         valid = row_ok[:, None, None] & (
-            np.arange(k)[None, None, :] < k_per_col[None, :, None]
+            _AR_K[None, None, :k] < k_per_col[None, :, None]
         )  # (R,C,K)
-        if offset_search:
+        valid_ck = valid.reshape(n_cells, k)
+        if not offset_search:
+            # fast path: one gather, one sgemm, one argmin — invalid
+            # slots gather clipped windows and are masked to blank below
+            ys = np.clip(base_ys, 0, h - 1)  # (R,7)
+            xs = np.clip(base_xs, 0, w - 1)  # (C,K,5)
+            slots = mask[
+                ys[:, None, None, :, None], xs[None, :, :, None, :]
+            ]  # (R,C,K,7,5)
+            flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.float32)
+            d = flat @ _T2F.T + _TSUMF[None, :]
+            idx = np.where(valid_ck, np.argmin(d, axis=1).reshape(n_cells, k), 0)
+            if return_score:
+                mind = d.min(axis=1).reshape(n_cells, k).astype(np.int32)
+                score = (
+                    int(np.where(valid_ck, mind, 0).sum()),
+                    int(valid_ck.sum()),
+                )
+        else:
             # centered-first order: argmin's first-wins tie-break then
             # resolves toward the unshifted grid
             offsets = sorted(
                 ((dy, dx) for dy in (-2, -1, 0, 1, 2) for dx in (-2, -1, 0, 1, 2)),
                 key=lambda p: (abs(p[0]) + abs(p[1]), p),
             )
-        else:
-            offsets = [(0, 0)]
-        n_cells = n_rows * n_cols
-        n_off = len(offsets)
-        valid_ck = valid.reshape(n_cells, k)
-        offs = np.asarray(offsets, dtype=np.int64)  # (O,2)
-        # ALL offsets in one gather + one matmul (a per-offset loop was
-        # overhead-bound: 25 tiny matmuls cost ~3 ms per skewed image)
-        ys = np.clip(base_ys[None, :, :] + offs[:, 0][:, None, None], 0, h - 1)  # (O,R,7)
-        xs = np.clip(
-            base_xs[None, :, :, :] + offs[:, 1][:, None, None, None], 0, w - 1
-        )  # (O,C,K,5)
-        slots = mask[
-            ys[:, :, None, None, :, None], xs[:, None, :, :, None, :]
-        ]  # (O,R,C,K,7,5)
-        flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.float32)
-        d = (flat @ _T2F.T + _TSUMF[None, :]).astype(np.int32)
-        mind = d.min(axis=1).reshape(n_off, n_cells, k)  # best template dist / slot
-        idx_all = np.argmin(d, axis=1).reshape(n_off, n_cells, k)
-        cell_dist = np.where(valid_ck[None, :, :], mind, 0).sum(axis=2)  # (O,cells)
-        best_off = np.argmin(cell_dist, axis=0)  # first min wins → centered
-        score = (
-            int(cell_dist[best_off, np.arange(n_cells)].sum()),
-            int(valid_ck.sum()),
-        )
-        idx = np.where(valid_ck, idx_all[best_off, np.arange(n_cells), :], 0)
+            n_off = len(offsets)
+            offs = np.asarray(offsets, dtype=np.int64)  # (O,2)
+            # ALL offsets in one gather + one matmul (a per-offset loop
+            # was overhead-bound: 25 tiny matmuls ~3 ms per skewed image)
+            ys = np.clip(base_ys[None, :, :] + offs[:, 0][:, None, None], 0, h - 1)
+            xs = np.clip(
+                base_xs[None, :, :, :] + offs[:, 1][:, None, None, None], 0, w - 1
+            )  # (O,C,K,5)
+            slots = mask[
+                ys[:, :, None, None, :, None], xs[:, None, :, :, None, :]
+            ]  # (O,R,C,K,7,5)
+            flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.float32)
+            d = (flat @ _T2F.T + _TSUMF[None, :]).astype(np.int32)
+            mind = d.min(axis=1).reshape(n_off, n_cells, k)  # best dist / slot
+            idx_all = np.argmin(d, axis=1).reshape(n_off, n_cells, k)
+            cell_dist = np.where(valid_ck[None, :, :], mind, 0).sum(axis=2)
+            best_off = np.argmin(cell_dist, axis=0)  # first min wins → centered
+            score = (
+                int(cell_dist[best_off, np.arange(n_cells)].sum()),
+                int(valid_ck.sum()),
+            )
+            idx = np.where(valid_ck, idx_all[best_off, np.arange(n_cells), :], 0)
         # byte LUT: template index → ASCII char, NUL for blank, stripped
-        lut = np.frombuffer(b"\x00" + font.ALPHABET.encode("ascii"), dtype=np.uint8)
-        cell_bytes = lut[idx]  # (cells, k) uint8
+        cell_bytes = _LUT[idx]  # (cells, k) uint8
         texts = [
             cell_bytes[i].tobytes().replace(b"\x00", b"").decode("ascii")
-            for i in range(n_rows * n_cols)
+            for i in range(n_cells)
         ]
     lines = [
         "|".join(texts[r * n_cols : (r + 1) * n_cols]) for r in range(n_rows)
