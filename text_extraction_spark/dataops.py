@@ -939,6 +939,85 @@ def _hyperplane_scored_pairs(emb, stats: tuple[int, int, int] | None = None):
     return scored.groupBy("ua", "ub").agg(F.max("cosine").alias("cosine"))
 
 
+def _matrix_topk_arrow(emb, q_ids, k: int, cos_batch):
+    """(vec_id, embedding) rows → (q_id, vec_id, cosine) candidates for
+    a per-query top-k, scored batch-wise by `cos_batch` (rows × queries
+    ROUNDED cosine matrix, exactly the expressions the old per-row
+    pandas UDFs used) inside ONE mapInArrow pass.
+
+    Round 7 (guide §2.3/§4): the quantized-ANN paths (SQ8/PQ) used to
+    emit EVERY (row, query) cosine — a posexplode to n·q rows feeding
+    the global top-k window (sf1: 1M rows for 20k vectors × 50
+    queries). Since the scores are already final (rounded in-batch) and
+    vec_id totally orders ties, a per-partition top-k under the exact
+    window comparator (cosine desc with NaN ranked first — Spark sorts
+    NaN above every double — then vec_id asc) provably contains every
+    global winner: a global top-k row is beaten by < k rows anywhere,
+    hence by < k rows in its own partition. Output shrinks to
+    partitions · queries · k rows; the caller's window is unchanged and
+    bit-identical. Per batch, rows at the k-th key are kept with ties
+    (key-only threshold), the end-of-partition pass then applies the
+    full comparator."""
+    qid_arr = np.asarray([int(q) for q in q_ids], dtype=np.int64)
+    n_q = len(qid_arr)
+
+    def fn(it):
+        import pyarrow as pa
+
+        cand_ids: list[list[np.ndarray]] = [[] for _ in range(n_q)]
+        cand_cos: list[list[np.ndarray]] = [[] for _ in range(n_q)]
+        for batch in it:
+            ids = batch.column(0).to_numpy()
+            X = _arrow_list_to_2d(batch.column(1))
+            if X is None:
+                X = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in batch.column(1).to_pylist()
+                    ]
+                )
+            cos = cos_batch(X)  # (B, n_q) rounded
+            key = np.where(np.isnan(cos), np.inf, cos)
+            key = np.where(ids[:, None] != qid_arr[None, :], key, -np.inf)
+            B = len(ids)
+            kk = min(k, B)
+            if B > kk:
+                thr = -np.partition(-key, kk - 1, axis=0)[kk - 1]  # (n_q,)
+                keep = key >= thr[None, :]
+            else:
+                keep = key > -np.inf
+            keep &= ids[:, None] != qid_arr[None, :]
+            ri, qi = np.nonzero(keep)
+            for q in np.unique(qi):
+                m_ = qi == q
+                cand_ids[q].append(ids[ri[m_]])
+                cand_cos[q].append(cos[ri[m_], q])
+        out_q, out_v, out_c = [], [], []
+        for q in range(n_q):
+            if not cand_ids[q]:
+                continue
+            vi = np.concatenate(cand_ids[q])
+            cv = np.concatenate(cand_cos[q])
+            key = np.where(np.isnan(cv), np.inf, cv)
+            sel = np.lexsort((vi, -key))[: min(k, len(vi))]
+            out_q.append(np.full(len(sel), qid_arr[q], dtype=np.int64))
+            out_v.append(vi[sel])
+            out_c.append(cv[sel])
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_v), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.float64()),
+                ],
+                names=["q_id", "vec_id", "cosine"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        fn, "q_id long, vec_id long, cosine double"
+    )
+
+
 def _hyperplane_id_pairs(emb, stats: tuple[int, int, int] | None = None):
     """(vec_id, embedding) → distinct undirected candidate id pairs
     (ua < ub) from the multi-table hyperplane buckets. IDS ONLY ride the
@@ -4333,9 +4412,6 @@ def pq_topk(emb, queries: np.ndarray, q_ids: list, books: np.ndarray, k: int = 3
     comes from the codeword norms (exact when reconstruction is exact,
     i.e. on the d47 planted store). One shuffle total: the per-query
     top-k window on (rounded cosine desc, vec_id)."""
-    from pyspark.sql.types import ArrayType as AT
-    from pyspark.sql.types import DoubleType
-
     m, ksub, dsub = books.shape
     Q = np.asarray(queries, dtype=np.float64)  # (q, dim)
     qn = np.sqrt((Q**2).sum(1))
@@ -4344,27 +4420,29 @@ def pq_topk(emb, queries: np.ndarray, q_ids: list, books: np.ndarray, k: int = 3
     norms2 = (books**2).sum(2)
     spark = emb.sparkSession
     bT, bN = spark.sparkContext.broadcast(T), spark.sparkContext.broadcast(norms2)
+    b_books = spark.sparkContext.broadcast(books)
 
-    coded = emb.select("vec_id", _pq_encode_udf(books)("embedding").alias("codes"))
-
-    @F.pandas_udf(AT(DoubleType()))
-    def adc(codes: pd.Series) -> pd.Series:
-        C = np.array(codes.to_list(), dtype=np.int64)  # (B, m)
-        if C.size == 0:
-            return pd.Series([], dtype=object)
+    # Round 7: PQ-encode + table-gather ADC + per-partition top-k fused
+    # into ONE Arrow pass (was: encode pandas UDF → adc pandas UDF →
+    # posexplode to n·q rows → global window). The encode argmin and the
+    # gather/sum/normalize expressions are verbatim, so every emitted
+    # double is unchanged (see _matrix_topk_arrow).
+    def cos_batch(X: np.ndarray) -> np.ndarray:
+        bk = b_books.value
+        C = np.empty((X.shape[0], m), dtype=np.int64)
+        for b in range(m):
+            Xb = X[:, b * dsub : (b + 1) * dsub]
+            Cb = bk[b]
+            scores = -2.0 * (Xb @ Cb.T) + (Cb**2).sum(1)[None, :]
+            C[:, b] = scores.argmin(1)
         t, n2 = bT.value, bN.value
         dots = t[:, np.arange(m)[None, :], C].sum(2)  # (q, B)
         vnorm = np.sqrt(n2[np.arange(m)[None, :], C].sum(1))  # (B,)
-        cos = dots / (qn[:, None] * vnorm[None, :])
-        return pd.Series(list(np.round(cos.T, 4)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (qn[:, None] * vnorm[None, :])
+        return np.round(cos.T, 4)
 
-    q_id_arr = F.array(*[F.lit(int(i)) for i in q_ids])
-    scored = (
-        coded.withColumn("cos", adc("codes"))
-        .select("vec_id", F.posexplode("cos").alias("qi", "cosine"))
-        .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1))
-        .filter(F.col("vec_id") != F.col("q_id"))
-    )
+    scored = _matrix_topk_arrow(emb, q_ids, k, cos_batch)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -6335,16 +6413,77 @@ _SQ8_SHORTLIST = 32
 
 
 def sq8_minmax(e, dim: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-dimension (min, max) in ONE reduce: 2·dim agg expressions
-    over element_at — no explode, no extra shuffle, the driver holds
-    2·dim doubles. At 100 TB this is the single cheapest full-scan agg
-    there is (map-side partial min/max)."""
-    row = e.agg(
-        *[F.min(F.element_at("embedding", i + 1)).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(F.element_at("embedding", i + 1)).alias(f"mx{i}") for i in range(dim)],
-    ).collect()[0]
-    mn = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
-    mx = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+    """Per-dimension (min, max) in ONE scan: numpy partial min/max per
+    partition via mapInArrow, combined driver-side — min/max are
+    order-independent so the values are exactly the old 2·dim
+    element_at agg's (which was measured ~1 s of interpreted-expression
+    overhead at sf1 for 128 agg columns). Spark NaN semantics are
+    reproduced explicitly: NaN ranks above every double, so a NaN
+    element wins max and never wins min. A ragged store falls back to
+    the JVM agg (element_at yields null past the end, which min/max
+    skip). At 100 TB this remains the cheapest full-scan agg there is
+    — map-side partials, 2·dim doubles per partition."""
+
+    def fn(it):
+        import pyarrow as pa
+
+        mn_p = np.full(dim, np.inf)
+        mx_p = np.full(dim, -np.inf)
+        has_nan = np.zeros(dim, dtype=bool)
+        ragged = False
+        n_seen = 0
+        for batch in it:
+            X = _arrow_list_to_2d(batch.column(0))
+            if X is None or X.shape[1] != dim:
+                ragged = True
+                break
+            n_seen += len(X)
+            with np.errstate(invalid="ignore"):
+                import warnings as _w
+
+                with _w.catch_warnings():
+                    _w.simplefilter("ignore", RuntimeWarning)
+                    mn_p = np.fmin(mn_p, np.nanmin(X, axis=0))
+                    mx_p = np.fmax(mx_p, np.nanmax(X, axis=0))
+            has_nan |= np.isnan(X).any(axis=0)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([1 if ragged else 0], type=pa.int32()),
+                pa.array([[float(x) for x in mn_p]], type=pa.list_(pa.float64())),
+                pa.array([[float(x) for x in mx_p]], type=pa.list_(pa.float64())),
+                pa.array([[bool(x) for x in has_nan]], type=pa.list_(pa.bool_())),
+                pa.array([n_seen], type=pa.int64()),
+            ],
+            names=["ragged", "mn", "mx", "nan", "n"],
+        )
+
+    parts = e.select("embedding").mapInArrow(
+        fn, "ragged int, mn array<double>, mx array<double>, nan array<boolean>, n long"
+    ).collect()
+    if any(r["ragged"] for r in parts):
+        row = e.agg(
+            *[
+                F.min(F.element_at("embedding", i + 1)).alias(f"mn{i}")
+                for i in range(dim)
+            ],
+            *[
+                F.max(F.element_at("embedding", i + 1)).alias(f"mx{i}")
+                for i in range(dim)
+            ],
+        ).collect()[0]
+        mn = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+        mx = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+        return mn, mx
+    live = [r for r in parts if r["n"]]
+    if not live:
+        return np.full(dim, np.nan), np.full(dim, np.nan)
+    mn = np.fmin.reduce(np.array([r["mn"] for r in live], dtype=np.float64), axis=0)
+    mx = np.fmax.reduce(np.array([r["mx"] for r in live], dtype=np.float64), axis=0)
+    has_nan = np.array([r["nan"] for r in live], dtype=bool).any(axis=0)
+    # Spark orders NaN above every double: a NaN element wins max
+    # always, and wins min only when a column holds NOTHING but NaN
+    mx = np.where(has_nan, np.nan, mx)
+    mn = np.where(np.isinf(mn) & (mn > 0) & has_nan, np.nan, mn)
     return mn, mx
 
 
@@ -6358,9 +6497,6 @@ def sq8_topk(emb, queries: np.ndarray, q_ids: list, mn: np.ndarray,
     grid-exact stores ADC cosine == exact cosine bit-for-bit (before
     the 4 dp round both engines share). One shuffle total: the
     per-query top-k window on (cosine desc, vec_id)."""
-    from pyspark.sql.types import ArrayType as AT
-    from pyspark.sql.types import DoubleType, IntegerType
-
     dim = len(mn)
     span = mx - mn
     Q = np.asarray(queries, dtype=np.float64)
@@ -6370,34 +6506,23 @@ def sq8_topk(emb, queries: np.ndarray, q_ids: list, mn: np.ndarray,
     b_span = spark.sparkContext.broadcast(span)
     b_q = spark.sparkContext.broadcast(Q)
 
-    @F.pandas_udf(AT(IntegerType()))
-    def encode(vecs: pd.Series) -> pd.Series:
-        X = np.array(vecs.to_list(), dtype=np.float64)
-        if X.size == 0:
-            return pd.Series([], dtype=object)
+    # Round 7: encode + ADC + per-partition top-k fused into ONE Arrow
+    # pass (was: encode pandas UDF → adc pandas UDF → posexplode to n·q
+    # rows → global window). The quantize/dequant/cosine expressions are
+    # verbatim, so every emitted double is unchanged; the global window
+    # below sees partitions·q·k candidate rows instead of n·q
+    # (see _matrix_topk_arrow for the exactness argument).
+    def cos_batch(X: np.ndarray) -> np.ndarray:
         s = np.where(b_span.value == 0.0, 1.0, b_span.value)
         C = np.clip(np.rint((X - b_mn.value) / s * 255.0), 0, 255).astype(np.int32)
-        return pd.Series(list(C))
-
-    @F.pandas_udf(AT(DoubleType()))
-    def adc(codes: pd.Series) -> pd.Series:
-        C = np.array(codes.to_list(), dtype=np.float64)  # (B, dim)
-        if C.size == 0:
-            return pd.Series([], dtype=object)
-        dq = b_mn.value[None, :] + (C * b_span.value[None, :]) / 255.0
+        dq = b_mn.value[None, :] + (C.astype(np.float64) * b_span.value[None, :]) / 255.0
         dots = dq @ b_q.value.T  # (B, q)
         vnorm = np.sqrt((dq**2).sum(1))
-        cos = dots / (vnorm[:, None] * qn[None, :])
-        return pd.Series(list(np.round(cos, 4)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (vnorm[:, None] * qn[None, :])
+        return np.round(cos, 4)
 
-    coded = emb.select("vec_id", encode("embedding").alias("codes"))
-    q_id_arr = F.array(*[F.lit(int(i)) for i in q_ids])
-    scored = (
-        coded.withColumn("cos", adc("codes"))
-        .select("vec_id", F.posexplode("cos").alias("qi", "cosine"))
-        .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1))
-        .filter(F.col("vec_id") != F.col("q_id"))
-    )
+    scored = _matrix_topk_arrow(emb, q_ids, k, cos_batch)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

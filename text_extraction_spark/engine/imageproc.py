@@ -94,6 +94,37 @@ def _decode_png8(data: bytes, width: int, height: int) -> np.ndarray:
     rowbytes = width * bpp
     raw = zlib.decompress(b"".join(idat))
     stride = rowbytes + 1
+    # Round 7 fast path: filter bytes 0 (None) and 2 (Up) never depend
+    # on the left neighbor, so whole images using only those unfilter
+    # in vectorized numpy — None rows are plain copies and runs of Up
+    # rows are column-wise modular prefix sums from the preceding None
+    # row (cumsum in int64 is exact; & 0xFF per element matches the
+    # per-row (row + prev) & 0xFF recurrence). The per-row loop below
+    # remains for Sub/Average/Paeth. Encoders here emit filter 0 only,
+    # so fixture PNGs always take this path; byte-identical output is
+    # pinned by the round-trip tests.
+    mat = np.frombuffer(raw, dtype=np.uint8, count=height * stride).reshape(
+        height, stride
+    )
+    ftypes = mat[:, 0]
+    if not ftypes.any():  # every row filter 0 — what our encoders emit
+        out = mat[:, 1:].copy()
+        if color == 0:
+            return out
+        return rgb_to_gray(out.reshape(height, width, 3))
+    if ((ftypes == 0) | (ftypes == 2)).all():
+        rows_ = mat[:, 1:].astype(np.int64)
+        starts = np.flatnonzero(ftypes == 0)
+        out = np.empty((height, rowbytes), dtype=np.uint8)
+        # row 0 always starts a run: an Up-filtered first row adds to
+        # the spec's implicit zero previous row, which the cumsum from
+        # row 0 reproduces
+        bounds = np.unique(np.r_[0, starts, height])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            out[s:e] = (np.cumsum(rows_[s:e], axis=0) & 0xFF).astype(np.uint8)
+        if color == 0:
+            return out
+        return rgb_to_gray(out.reshape(height, width, 3))
     out = np.zeros((height, rowbytes), dtype=np.uint8)
     prev = np.zeros(rowbytes, dtype=np.int32)
     for y in range(height):

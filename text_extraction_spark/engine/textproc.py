@@ -66,9 +66,13 @@ def tokenize(html: str) -> list[Block]:
                 words.extend(toks)
                 if link_depth > 0:
                     link_words += len(toks)
-        tag = m.group(0)[1:-1].strip().lower()
+        # lowercase only the NAME token, not the whole tag body (round
+        # 7: attrs never influence the outcome and lowercasing them was
+        # measurable); closing/name logic otherwise byte-equivalent
+        tag = m.group(0)[1:-1].strip()
         closing = tag.startswith("/")
-        name = tag.lstrip("/").split()[0].rstrip("/") if tag.lstrip("/") else ""
+        body = tag.lstrip("/")
+        name = body.split(None, 1)[0].rstrip("/").lower() if body else ""
         if name == "a":
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1
         elif name in _BLOCK_TAGS:
