@@ -307,3 +307,44 @@ def test_region_votes_equal_hough_axis_slices():
     rows_votes, cols_votes = imageproc._hough_axis_votes(mask)
     assert np.array_equal(rows_votes, mask.sum(axis=1, dtype=np.int64))
     assert np.array_equal(cols_votes, mask.sum(axis=0, dtype=np.int64))
+
+
+def test_batched_threshold_denoise_equal_per_image():
+    """Round 7: the (B, h, w) stacked threshold/denoise used by the
+    batched media path must be element-identical to the per-image ops
+    on every image of the stack (incl. noisy + ruling content)."""
+    grays = []
+    for i in range(6):
+        grid, _ = corpus.gen_table_content(f"img-{i:08d}-0")
+        ink = corpus.render_table(grid)
+        page = np.zeros((80, 140), np.uint8)
+        page[: min(80, ink.shape[0]), : min(140, ink.shape[1])] = ink[
+            : min(80, ink.shape[0]), : min(140, ink.shape[1])
+        ]
+        grays.append(corpus.render_noisy_image(f"b{i}", page))
+    stack = np.stack(grays)
+    tb = imageproc.adaptive_threshold_batch(stack)
+    for j, g in enumerate(grays):
+        assert np.array_equal(tb[j], imageproc.adaptive_threshold(g)), j
+    db = imageproc.denoise_batch(tb)
+    for j in range(len(grays)):
+        assert np.array_equal(db[j], imageproc.denoise(tb[j])), j
+
+
+def test_batch_media_extract_equals_per_item():
+    """The batched media extractor must return exactly what the
+    per-item path returns for every media kind (raw/png/rgb/pdf,
+    embedded + skewed), including None for broken payloads."""
+    from text_extraction_spark.pipeline import _extract_media_batch, _extract_one_media
+
+    media = [corpus.gen_media(f"img-{i:08d}-0") for i in range(40)]
+    widths = [m.width for m in media] + [10]
+    heights = [m.height for m in media] + [10]
+    fmts = [m.fmt for m in media] + ["png"]
+    datas = [m.data for m in media] + [b"not a png"]
+    got = _extract_media_batch(widths, heights, fmts, datas)
+    want = [
+        _extract_one_media(w, h, f, d)
+        for w, h, f, d in zip(widths, heights, fmts, datas)
+    ]
+    assert got == want

@@ -249,6 +249,52 @@ def adaptive_threshold(gray: np.ndarray) -> np.ndarray:
     return (gray.astype(np.int32) * (w_sq * 100) < s * (100 - T_PCT)).astype(np.uint8)
 
 
+def adaptive_threshold_batch(stack: np.ndarray) -> np.ndarray:
+    """adaptive_threshold over a (B, h, w) stack of SAME-SIZE images in
+    one numpy pass per op (round 7: the per-image call is overhead-bound
+    at fixture sizes — ~20 numpy calls on a ~15k-px array). Identical
+    integers per image: the pad slices, the int32/int64 integral dtype
+    rule, the cumsums (axes 1/2 are per-image independent) and the
+    strict-'<' compare are the 2-D code with a leading batch axis —
+    asserted element-equal by tests."""
+    b, h, w = stack.shape
+    half = THRESH_WINDOW // 2
+    w_sq = THRESH_WINDOW * THRESH_WINDOW
+    if h > half + 1 and w > half + 1:
+        p = np.empty((b, h + 2 * half, w + 2 * half), dtype=stack.dtype)
+        p[:, half : half + h, half : half + w] = stack
+        p[:, :half, half : half + w] = stack[:, half:0:-1, :]
+        p[:, half + h :, half : half + w] = stack[:, h - 2 : h - 2 - half : -1, :]
+        p[:, :, :half] = p[:, :, 2 * half : half : -1]
+        p[:, :, half + w :] = p[:, :, half + w - 2 : w - 2 : -1]
+    else:
+        p = np.stack([np.pad(g, half, mode="reflect") for g in stack])
+    # dtype rule from the PADDED dims — exactly integral_image's guard
+    dt = np.int64 if int(p.shape[1]) * int(p.shape[2]) * 255 >= 2**31 else np.int32
+    ii = np.zeros((b, p.shape[1] + 1, p.shape[2] + 1), dtype=dt)
+    np.cumsum(np.cumsum(p, axis=1, dtype=dt), axis=2, out=ii[:, 1:, 1:])
+    k = THRESH_WINDOW
+    s = ii[:, k:, k:] - ii[:, :-k, k:] - ii[:, k:, :-k] + ii[:, :-k, :-k]
+    return (stack.astype(np.int32) * (w_sq * 100) < s * (100 - T_PCT)).astype(np.uint8)
+
+
+def denoise_batch(stack: np.ndarray) -> np.ndarray:
+    """denoise over a (B, h, w) stack — the 2-D op with a leading batch
+    axis, element-identical per image (see adaptive_threshold_batch)."""
+    b, h, w = stack.shape
+    p = np.zeros((b, h + 2, w + 2), dtype=np.uint8)
+    p[:, 1:-1, 1:-1] = stack
+    nb = (
+        p[:, :-2, :-2] + p[:, :-2, 1:-1] + p[:, :-2, 2:]
+        + p[:, 1:-1, :-2] + p[:, 1:-1, 2:]
+        + p[:, 2:, :-2] + p[:, 2:, 1:-1] + p[:, 2:, 2:]
+    )
+    out = stack.copy()
+    out[(stack == 1) & (nb == 0)] = 0
+    out[(stack == 0) & (nb == 8)] = 1
+    return out
+
+
 def denoise(mask: np.ndarray) -> np.ndarray:
     """A9: single-pass speck removal (no scipy in env):
       * ink pixel with zero ink 8-neighbors → background (kills salt);
@@ -292,6 +338,30 @@ def detect_rulings(mask: np.ndarray) -> tuple[list[int], list[int]]:
     rows = _ruling_positions(mask.sum(axis=1, dtype=np.int32), w)
     cols = _ruling_positions(mask.sum(axis=0, dtype=np.int32), h)
     return rows, cols
+
+
+def rulings_from_profiles(
+    rows_votes: np.ndarray, cols_votes: np.ndarray, h: int, w: int
+) -> tuple[list[int], list[int]]:
+    """detect_rulings given precomputed row/col ink sums (round 7: the
+    skew-refine loop computes all candidate rotations' profiles in one
+    stacked pass). Identical thresholds and results."""
+    return _ruling_positions(rows_votes, w), _ruling_positions(cols_votes, h)
+
+
+def region_rulings_from_profiles(
+    rows_votes: np.ndarray, cols_votes: np.ndarray
+) -> tuple[list[int], list[int]]:
+    """detect_rulings_hough_region given precomputed profiles (see
+    rulings_from_profiles). Identical thresholds and results."""
+
+    def pick(votes: np.ndarray) -> list[int]:
+        vmax = int(votes.max(initial=0))
+        if vmax < MIN_RULING_VOTES:
+            return []
+        return _ruling_positions(votes, vmax)
+
+    return pick(rows_votes), pick(cols_votes)
 
 
 def reconstruct_grid(
@@ -521,11 +591,4 @@ def detect_rulings_hough_region(mask: np.ndarray) -> tuple[list[int], list[int]]
     """
     rows_votes = mask.sum(axis=1, dtype=np.int64)  # == theta=90° slice
     cols_votes = mask.sum(axis=0, dtype=np.int64)  # == theta=0° slice
-
-    def pick(votes: np.ndarray) -> list[int]:
-        vmax = int(votes.max(initial=0))
-        if vmax < MIN_RULING_VOTES:
-            return []
-        return _ruling_positions(votes, vmax)
-
-    return pick(rows_votes), pick(cols_votes)
+    return region_rulings_from_profiles(rows_votes, cols_votes)

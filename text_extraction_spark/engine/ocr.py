@@ -75,6 +75,14 @@ def extract_table(gray: np.ndarray, detector: str = "auto") -> str:
     uniform AND non-uniform grids.
     """
     mask = imageproc.denoise(imageproc.adaptive_threshold(gray))
+    return extract_table_from_mask(mask, detector)
+
+
+def extract_table_from_mask(mask: np.ndarray, detector: str = "auto") -> str:
+    """extract_table past the threshold+denoise stages — the entry the
+    batched media path uses after computing masks for a whole stack of
+    same-size images in one pass (round 7; see
+    imageproc.adaptive_threshold_batch). Byte-identical results."""
     rows, cols = imageproc.detect_rulings(mask)
     if (len(rows) < 2 or len(cols) < 2) and detector == "auto":
         # Skew FIRST: on a tilted table the region detector would accept
@@ -110,11 +118,20 @@ def extract_table(gray: np.ndarray, detector: str = "auto") -> str:
             rotated = imageproc.rotate_mask_nn_multi(
                 mask, [ang + d for d in deltas]
             )
+            # profile sums for all 5 rotations in two passes (round 7):
+            # both ruling detectors consume only these row/col ink sums,
+            # so per-angle mask.sum calls collapse into the stack sums
+            row_sums = rotated.sum(axis=2, dtype=np.int64)  # (A, h)
+            col_sums = rotated.sum(axis=1, dtype=np.int64)  # (A, w)
             for ai, d_ang in enumerate(deltas):
                 mask2 = rotated[ai]
-                r2, c2 = imageproc.detect_rulings(mask2)
+                r2, c2 = imageproc.rulings_from_profiles(
+                    row_sums[ai], col_sums[ai], *mask2.shape
+                )
                 if len(r2) < 2 or len(c2) < 2:
-                    r2, c2 = imageproc.detect_rulings_hough_region(mask2)
+                    r2, c2 = imageproc.region_rulings_from_profiles(
+                        row_sums[ai], col_sums[ai]
+                    )
                 if len(r2) < 2 or len(c2) < 2:
                     continue
                 _text, dist, nslots = _decode_grid(

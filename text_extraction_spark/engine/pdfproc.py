@@ -219,6 +219,14 @@ _ESC = {
 
 def _parse_literal_string(s: bytes, i: int) -> tuple[bytes, int]:
     """s[i] == '(' → (decoded bytes, index past the closing ')')."""
+    # fast path (round 7): a segment with no escape and no nested '('
+    # before the first ')' needs no per-byte scan — the overwhelmingly
+    # common case for generated text operands
+    j = s.find(b")", i + 1)
+    if j != -1:
+        seg = s[i + 1 : j]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg, j + 1
     out = bytearray()
     depth = 1
     i += 1
