@@ -19,12 +19,14 @@ def test_d74_finds_planted_near_dup_pair(spark):
     df = spark.createDataFrame(
         [(1, base), (2, near), (3, far)], "doc_id long, text string"
     )
-    orig = dataops.t
-    dataops.t = lambda s, sf, name: df  # the op reads only `documents`
+    # the op reads only `documents`; patch BOTH reader seams — round 7
+    # routed d74's scan through t_spread for row-group parallelism
+    orig_t, orig_spread = dataops.t, dataops.t_spread
+    dataops.t = dataops.t_spread = lambda s, sf, name: df
     try:
         rows = dataops.QUERIES["d74_allpairs_exact_join"](spark, SF).collect()
     finally:
-        dataops.t = orig
+        dataops.t, dataops.t_spread = orig_t, orig_spread
     pairs = {(r["id_a"], r["id_b"]): r for r in rows}
     assert set(pairs) == {(1, 2)}
     r = pairs[(1, 2)]
