@@ -339,7 +339,11 @@ def test_cluster_assign_is_map_only(spark):
     plan = _plan(dataops.QUERIES["d40_cluster_assign"](spark, SF))
     assert "Exchange" not in plan
     assert plan.count("FileScan parquet") == 1
-    assert "EvalPython" not in plan
+    # round 7: the K interpreted dot folds became one Arrow pass; the
+    # map-only shape (zero Exchanges, one scan) is unchanged and the
+    # UDF must evaluate exactly ONCE (no optimizer duplication)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
 
 
 def test_dsir_single_corpus_scan(spark):
@@ -372,7 +376,11 @@ def test_semantic_dedup_cluster_equi_join(spark):
     plan = _plan(dataops.QUERIES["d42_semantic_dedup"](spark, SF))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "cluster_id" in plan
-    assert "EvalPython" not in plan
+    # round 7: the centroid scoring runs as ONE Arrow pass per scan of
+    # the assignment subtree (see _centroid_assign); the pairwise
+    # within-cluster cosine stays JVM-side, and no row-at-a-time Python
+    # (BatchEvalPython) may appear anywhere
+    assert "BatchEvalPython" not in plan
 
 
 def test_packing_accounting_single_source_shuffle(spark):

@@ -25,6 +25,8 @@ candidate set grows linearly (bucketing/banding), not quadratically.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Window
@@ -3811,24 +3813,82 @@ def _centroid_assign(e):
             s += float(x) * float(x)
         return s ** 0.5
 
-    enorm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    cent_dims = {len(r.embedding) for r in cents if r.embedding is not None}
+    if len(cent_dims) != 1 or any(r.embedding is None for r in cents):
+        # ragged/null centroid set — keep the interpreted-fold JVM path
+        # (the numpy matrix below needs one centroid dim)
+        enorm = F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         )
-    )
+        scored = [
+            F.struct(
+                F.round(
+                    dot_lit(r.embedding) / enorm / F.lit(norm_lit(r.embedding)), 4
+                ).alias("cosine"),
+                F.lit(-int(r.vec_id)).alias("negcid"),
+            )
+            for r in cents
+        ]
+        best = F.greatest(*scored)
+        return e.select(
+            "vec_id",
+            (-best.negcid).cast("bigint").alias("cluster_id"),
+            best.cosine.alias("cosine"),
+        )
+
+    # Round 7 (guide §4.2): the K interpreted 64-term dot folds per row
+    # become ONE Arrow pass emitting the K RAW cosines per row — the
+    # per-dim numpy loop preserves the fold's float64 op order and the
+    # dot / |e| / |c| division order, so each raw double is bit-equal.
+    # Rounding and the (cosine, negcid) greatest tie-break STAY JVM-side
+    # on element_at of the array, so the selection semantics (Spark
+    # HALF_UP round, NaN/null ordering) are byte-for-byte the old ones.
+    # Wrong-dim / null rows return a NULL array: element_at(NULL, i) is
+    # null exactly like the old zip_with null-fold for those rows.
+    dimc = cent_dims.pop()
+    Cm = np.array([[float(x) for x in r.embedding] for r in cents], dtype=np.float64)
+    cnorms = np.array([norm_lit(r.embedding) for r in cents], dtype=np.float64)
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def cos_arr(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for embs in it:
+            out: list = []
+            ok_rows, mats = [], []
+            for i, v in enumerate(embs):
+                a = None if v is None else np.asarray(v, dtype=np.float64)
+                if a is not None and a.shape == (dimc,):
+                    ok_rows.append(i)
+                    mats.append(a)
+                out.append(None)
+            if mats:
+                X = np.stack(mats)
+                dots = np.zeros((len(X), len(Cm)), dtype=np.float64)
+                nacc = np.zeros(len(X), dtype=np.float64)
+                for j in range(dimc):
+                    xj = X[:, j]
+                    dots += xj[:, None] * Cm[:, j][None, :]
+                    nacc += xj * xj
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (dots / np.sqrt(nacc)[:, None]) / cnorms[None, :]
+                for row, i in enumerate(ok_rows):
+                    out[i] = cos[row]
+            yield pd.Series(out)
+
+    proj = e.select("vec_id", cos_arr("embedding").alias("ca"))
     scored = [
         F.struct(
-            F.round(dot_lit(r.embedding) / enorm / F.lit(norm_lit(r.embedding)), 4).alias(
-                "cosine"
-            ),
+            F.round(F.element_at("ca", k + 1), 4).alias("cosine"),
             F.lit(-int(r.vec_id)).alias("negcid"),
         )
-        for r in cents
+        for k, r in enumerate(cents)
     ]
     best = F.greatest(*scored)
-    return e.select(
+    return proj.select(
         "vec_id",
         (-best.negcid).cast("bigint").alias("cluster_id"),
         best.cosine.alias("cosine"),
@@ -3895,34 +3955,22 @@ def d42(spark, sf):
     asg = _centroid_assign(t(spark, sf, "embeddings"))
     e = t(spark, sf, "embeddings")
     m = asg.select("vec_id", "cluster_id").join(e, "vec_id")
-    a = m.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-    )
-    b = m.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    # Round 7 (guide §8): the within-cluster pair stage was a self-join
+    # on cluster_id scoring every pair with the interpreted fold — at
+    # sf1 that is ~25M pairs × 64 interpreted lambdas (measured 107 s).
+    # One grouped numpy grid per cluster scores the same pairs with the
+    # fold's exact float64 op order and emits only pairs whose RAW
+    # cosine can still pass the rounded >= tau filter (margin 1e-3 ≫
+    # the 5e-5 max shift of F.round(·,4); NaN pairs are always emitted
+    # since Spark compares NaN above every number). The EXACT filter —
+    # F.round(cosine, 4) >= tau on the emitted raw double — stays
+    # JVM-side, so the drop-set is bit-identical (d42's value oracle
+    # stays green). Same-dim rows grid together per (cluster, dim);
+    # cross-dim pairs are omitted exactly like the old zip_with
+    # null-fold, whose null cosine never passed the filter.
     dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            F.round(dot / norm(F.col("a_emb")) / norm(F.col("b_emb")), 4) >= _D42_TAU
-        )
+        _cluster_pair_candidates(m, _D42_TAU - 1e-3)
+        .filter(F.round(F.col("cosine"), 4) >= _D42_TAU)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("dropflag", F.lit(True))
@@ -3931,6 +3979,80 @@ def d42(spark, sf):
         "vec_id",
         "cluster_id",
         F.col("dropflag").isNull().alias("kept"),
+    )
+
+
+def _cluster_pair_candidates(m, floor: float):
+    """(cluster_id, vec_id, embedding) rows → (a_id, b_id, cosine) for
+    every within-cluster pair (a_id < b_id, same embedding dim) whose
+    RAW cosine is >= floor or NaN — the margin superset d42's exact
+    rounded-tau filter then prunes (see d42). Cosines keep the JVM
+    fold's float64 op order exactly (per-dim accumulation, division
+    dot / |a| / |b|)."""
+
+    _empty = {
+        "a_id": pd.Series([], dtype="int64"),
+        "b_id": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(_empty)
+        ids_all = pdf["vec_id"].to_numpy()
+        embs = [
+            None if v is None else np.asarray(v, dtype=np.float64)
+            for v in pdf["embedding"]
+        ]
+        by_dim: dict[tuple, list[int]] = {}
+        for i, v in enumerate(embs):
+            if v is not None:  # a null embedding's zip_with fold was
+                # null → its pairs never passed the filter
+                by_dim.setdefault(v.shape, []).append(i)
+        out_a, out_b, out_c = [], [], []
+        for shape, idxs in by_dim.items():
+            if len(idxs) < 2 or len(shape) != 1 or shape[0] == 0:
+                continue
+            ids = ids_all[idxs]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            M = np.stack([embs[idxs[o]] for o in order])
+            n = len(M)
+            nacc = np.zeros(n, dtype=np.float64)
+            for j in range(M.shape[1]):
+                mj = M[:, j]
+                nacc += mj * mj
+            norms = np.sqrt(nacc)
+            chunk = max(1, (1 << 22) // max(n, 1))  # ~32 MB grid chunks
+            for s in range(0, n - 1, chunk):
+                e_ = min(s + chunk, n - 1)
+                acc = np.zeros((e_ - s, n), dtype=np.float64)
+                for j in range(M.shape[1]):
+                    acc += M[s:e_, j][:, None] * M[:, j][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (acc / norms[s:e_, None]) / norms[None, :]
+                # upper triangle only (a_id < b_id after the id sort)
+                tri = np.arange(s, e_)[:, None] < np.arange(n)[None, :]
+                keep = tri & ((cos >= floor) | np.isnan(cos))
+                ai, bi = np.nonzero(keep)
+                if len(ai):
+                    out_a.append(ids[ai + s])
+                    out_b.append(ids[bi])
+                    out_c.append(cos[ai, bi])
+        if not out_a:
+            return pd.DataFrame(_empty)
+        return pd.DataFrame(
+            {
+                "a_id": pd.Series(np.concatenate(out_a), dtype="int64"),
+                "b_id": pd.Series(np.concatenate(out_b), dtype="int64"),
+                "cosine": pd.Series(np.concatenate(out_c), dtype="float64"),
+            }
+        )
+
+    return (
+        m.select("cluster_id", "vec_id", "embedding")
+        .groupBy("cluster_id")
+        .applyInPandas(fn, "a_id long, b_id long, cosine double")
     )
 
 
