@@ -423,6 +423,19 @@ def _adaptive_planes(n_vecs: int) -> int:
     return min(_LSH_MAX_PLANES, max(_LSH_MIN_PLANES, raw))
 
 
+def _collect_id_emb(df) -> tuple[list[int], list[np.ndarray]]:
+    """Driver-side (vec_id-sorted ids, float64 vectors) from a bounded
+    (vec_id, embedding) DataFrame via ONE Arrow transfer (round 7: the
+    py4j row collect of a few-thousand-row trainer sample was ~0.3 s
+    per call). Values are identical to the row collect: Arrow delivers
+    the float32 payload, which widens to the exact same doubles."""
+    pdf = df.toPandas().sort_values("vec_id")
+    return (
+        [int(x) for x in pdf["vec_id"]],
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
+    )
+
+
 def emb_stats(df, col: str = "embedding", id_col: str = "vec_id"):
     """(n_rows, canonical_dim, n_dropped) in ONE Spark job (round 6 —
     VERDICT r5 #4: the adaptive-sizing paths previously burned a
@@ -1190,18 +1203,15 @@ def _ivf_centroids(spark, sf, n: int | None = None) -> np.ndarray:
     key = (sf, k, cap)
     if key in _ivf_cache:
         return _ivf_cache[key]
-    rows = (
-        e.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(cap)
-        .select("vec_id", "embedding")
-        .collect()
-    )
     # vec_id-sorted sample matrix: k-means seeding indexes into X, so
     # row order must be deterministic AND, for stores at or under the
     # cap (= the whole store sampled), identical to the round-4 order —
     # keeping every measured floor's centroids bit-stable.
-    rows.sort(key=lambda r: r["vec_id"])
-    vecs = [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    _, vecs = _collect_id_emb(
+        e.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(cap)
+        .select("vec_id", "embedding")
+    )
     # Train only on the canonical dim (dim of the first sample vector) —
     # a stray wrong-dim row must not crash np.stack or skew centroids.
     X = np.stack([v for v in vecs if v.shape == vecs[0].shape])
@@ -1337,14 +1347,11 @@ def _train_centroids_df(e, k: int) -> np.ndarray:
     max(_IVF_TRAIN_CAP, 8k) lowest-xxhash64 rows, vec_id-sorted so the
     centroids are deterministic at any parallelism."""
     cap = max(_IVF_TRAIN_CAP, 8 * k)
-    rows = (
+    _, vecs = _collect_id_emb(
         e.orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(cap)
         .select("vec_id", "embedding")
-        .collect()
     )
-    rows.sort(key=lambda r: r["vec_id"])
-    vecs = [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
     X = np.stack([v for v in vecs if v.shape == vecs[0].shape])
     return _spherical_kmeans(X, k=min(k, len(X)))
 
@@ -4376,7 +4383,7 @@ def _bloom_build(hashes: "list[tuple[int, int]]") -> tuple[np.ndarray, int]:
     n = max(len(hashes), 1)
     m = 1 << max(10, int(np.ceil(np.log2(n * _BLOOM_BITS_PER_GRAM))))
     bits = np.zeros(m // 8, dtype=np.uint8)
-    if hashes:
+    if len(hashes):  # list OR (n, 2) ndarray (round 7: Arrow transfer)
         arr = np.array(hashes, dtype=np.int64)
         pos = _bloom_positions(arr[:, 0], arr[:, 1], m).ravel()
         np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
@@ -4415,13 +4422,21 @@ def d45(spark, sf):
         "doc_id", "is_bench", F.explode(_word_ngrams(F.col("w"), _DECON_N)).alias("g")
     )
     h1, h2 = F.xxhash64("g"), F.xxhash64("g", F.lit(1))
+    # Arrow driver transfer (guide §6): the bench gram set is ~150k
+    # (h1, h2) rows at sf1 and the py4j row collect was ~1 s of the
+    # query; toPandas rides Arrow (enabled in conf) and the hash pairs
+    # land as two int64 numpy columns — same values, no row objects
     bench = (
         grams.filter("is_bench")
         .select(h1.alias("h1"), h2.alias("h2"))
         .distinct()
-        .collect()
+        .toPandas()
     )
-    bits, m = _bloom_build([(r["h1"], r["h2"]) for r in bench])
+    bits, m = _bloom_build(
+        np.column_stack([bench["h1"].to_numpy(), bench["h2"].to_numpy()])
+        if len(bench)
+        else []
+    )
     bbits = spark.sparkContext.broadcast(bits)
 
     @F.pandas_udf(BooleanType())
@@ -4587,14 +4602,12 @@ def _pq_books(spark, sf, n: int, dim: int) -> np.ndarray:
     if key in _pq_cache:
         return _pq_cache[key]
     e = t(spark, sf, "embeddings").filter(F.size("embedding") == dim)
-    rows = (
+    _, vecs = _collect_id_emb(
         e.orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(cap)
         .select("vec_id", "embedding")
-        .collect()
     )
-    rows.sort(key=lambda r: r["vec_id"])
-    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = np.array(vecs, dtype=np.float64)
     _pq_cache[key] = _pq_train(X, m=_PQ_M, ksub=ksub)
     return _pq_cache[key]
 
@@ -4618,14 +4631,11 @@ def d46(spark, sf):
     if dropped:
         e = e.filter(F.size("embedding") == dim)
     books = _pq_books(spark, sf, n, dim)
-    qrows = (
-        e.filter(F.col("vec_id") < _RECALL_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
+    q_ids, qvecs = _collect_id_emb(
+        e.filter(F.col("vec_id") < _RECALL_QUERIES).select("vec_id", "embedding")
     )
-    qrows.sort(key=lambda r: r["vec_id"])
-    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    return pq_refined_topk(e, Q, [r["vec_id"] for r in qrows], books)
+    Q = np.array(qvecs, dtype=np.float64)
+    return pq_refined_topk(e, Q, q_ids, books)
 
 
 # ---- d47: the planted store where PQ is EXACT (full value oracle)
@@ -4909,14 +4919,11 @@ def d49(spark, sf):
         e = e.filter(F.size("embedding") == dim)
     C = _ivf_centroids(spark, sf, n=n)
     books = _pq_books(spark, sf, n, dim)
-    qrows = (
-        e.filter(F.col("vec_id") < _RECALL_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
+    q_ids, qvecs = _collect_id_emb(
+        e.filter(F.col("vec_id") < _RECALL_QUERIES).select("vec_id", "embedding")
     )
-    qrows.sort(key=lambda r: r["vec_id"])
-    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    return ivfpq_topk(e, C, books, Q, [r["vec_id"] for r in qrows])
+    Q = np.array(qvecs, dtype=np.float64)
+    return ivfpq_topk(e, C, books, Q, q_ids)
 
 
 @q("d50_ann_ivfpq_golden")  # oracle registered lazily (shares d29's store + SQL)
@@ -6674,14 +6681,11 @@ def d72(spark, sf):
     if dropped:
         e = e.filter(F.size("embedding") == dim)
     mn, mx = sq8_minmax(e, dim)
-    qrows = (
-        e.filter(F.col("vec_id") < _RECALL_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
+    q_ids, qvecs = _collect_id_emb(
+        e.filter(F.col("vec_id") < _RECALL_QUERIES).select("vec_id", "embedding")
     )
-    qrows.sort(key=lambda r: r["vec_id"])
-    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    return sq8_refined_topk(e, Q, [r["vec_id"] for r in qrows], mn, mx)
+    Q = np.array(qvecs, dtype=np.float64)
+    return sq8_refined_topk(e, Q, q_ids, mn, mx)
 
 
 # ---- d73: the planted store where SQ8 is EXACT (full value oracle)
