@@ -135,7 +135,8 @@ def extract_table_from_mask(mask: np.ndarray, detector: str = "auto") -> str:
                 if len(r2) < 2 or len(c2) < 2:
                     continue
                 _text, dist, nslots = _decode_grid(
-                    mask2, r2, c2, offset_search=False, return_score=True
+                    mask2, r2, c2, offset_search=False, return_score=True,
+                    score_only=True,
                 )
                 if nslots == 0:
                     # spurious rulings with zero glyph slots decode to
@@ -170,6 +171,7 @@ def _decode_grid(
     cols: list[int],
     offset_search: bool = False,
     return_score: bool = False,
+    score_only: bool = False,
 ):
     """Vectorized grid decode given ruling positions (see extract_table).
     offset_search=True additionally tries every (dy, dx) window shift in
@@ -232,13 +234,18 @@ def _decode_grid(
             ]  # (R,C,K,7,5)
             flat = slots.reshape(-1, font.GLYPH_H * font.GLYPH_W).astype(np.float32)
             d = flat @ _T2F.T + _TSUMF[None, :]
-            idx = np.where(valid_ck, np.argmin(d, axis=1).reshape(n_cells, k), 0)
             if return_score:
                 mind = d.min(axis=1).reshape(n_cells, k).astype(np.int32)
                 score = (
                     int(np.where(valid_ck, mind, 0).sum()),
                     int(valid_ck.sum()),
                 )
+                if score_only:
+                    # skew RANKING discards the text (the winning angle
+                    # is re-decoded with the offset search) — skip the
+                    # argmin/LUT/assembly entirely
+                    return ("", score[0], score[1])
+            idx = np.where(valid_ck, np.argmin(d, axis=1).reshape(n_cells, k), 0)
         else:
             # centered-first order: argmin's first-wins tie-break then
             # resolves toward the unshifted grid
